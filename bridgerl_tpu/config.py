@@ -1,0 +1,204 @@
+"""Configuration system: dataclass config tree, experiment registry, artifact naming.
+
+Replaces the reference's three config mechanisms (argparse constants,
+module-level hyperparameters, and the EXPERIMENTS list — see reference
+scripts/train_ablation.py:39-57 and models/experiment_config.py:9-18) with a
+single serializable dataclass tree. Naming conventions are load-bearing in
+the reference (logs are grouped by splitting on ``_seed_``,
+scripts/evaluation/plot_results.py:54-57) and are reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+ARCHS = ("simple", "resnet", "resnet_no_down", "transformer")
+METHODS = ("standard", "ema", "rvq", "fsq", "lfq", "hybrid", "ae")
+MODES = ("teacher", "student")
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model hyperparameters (defaults mirror reference models/vqvae.py:509-517)."""
+
+    human_input_dim: int = 126
+    robot_input_dim: int = 29
+    hidden_dim: int = 64
+    codebook_size: int = 1024
+    arch: str = "transformer"
+    method: str = "hybrid"
+    n_layers: int = 4          # RVQ depth
+    window_size: int = 64
+    # transformer internals (hard-coded 256/4/4/512 in reference vqvae.py:527-528,565-571)
+    d_model: int = 256
+    n_heads: int = 4
+    n_tf_layers: int = 4
+    ff_dim: int = 512
+    # quantizer internals
+    fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
+    lfq_dim: int = 10
+    commitment_cost: float = 0.25
+    ema_decay: float = 0.99
+    entropy_loss_weight: float = 0.1
+    num_res_layers: int = 4
+    # compute dtype for matmul-heavy paths ("bfloat16" or "float32")
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.arch not in ARCHS:
+            raise ValueError(f"Unknown arch {self.arch!r}; expected one of {ARCHS}")
+        if self.method not in METHODS:
+            raise ValueError(f"Unknown quantization method {self.method!r}; expected one of {METHODS}")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (defaults mirror reference scripts/train_ablation.py:39-57)."""
+
+    mode: str = "teacher"
+    epochs: int = 400
+    batch_size: int = 512
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-4
+    patience: int = -1           # early stopping; -1 disables
+    seeds: Tuple[int, ...] = (42,)
+    val_fraction: float = 0.1
+    # loss weights (reference scripts/train_ablation.py:52-57)
+    lambda_recon: float = 1.0
+    lambda_vq: float = 1.0
+    lambda_vel: float = 0.5
+    lambda_cross: float = 5.0
+    lambda_align: float = 100.0
+    temperature: float = 0.07    # InfoNCE (kept for completeness; unused by default)
+    resume: bool = False
+    teacher_ckpt: Optional[str] = None
+    # TPU-specific
+    data_axis: str = "data"      # mesh axis name for batch sharding
+    donate: bool = True
+
+    def __post_init__(self):
+        if self.mode not in MODES:
+            raise ValueError(f"Unknown mode {self.mode!r}; expected one of {MODES}")
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline config (reference scripts/data/process_data.py:143-150)."""
+
+    input_dir: str = "data/raw/unzipped/extended_datasets/lafan1_dataset/g1"
+    output_dir: str = "data/processed"
+    window: int = 64
+    step: int = 20
+    overwrite: bool = False
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    """One ablation entry: everything needed to reproduce a run."""
+
+    id: str
+    name: str
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    log_dir: str = "results"
+    checkpoint_dir: str = "checkpoints"
+
+    # ---- artifact naming (reference conventions, scripts/train_ablation.py:124-126, 350, 363) ----
+    def run_name(self, seed: int) -> str:
+        return f"{self.name}_{self.model.method}_{self.train.mode}_seed_{seed}"
+
+    def log_name(self, seed: int) -> str:
+        return f"log_{self.id}_seed_{seed}.json"
+
+    def ckpt_name(self, seed: int, kind: str) -> str:
+        assert kind in ("last", "best", "final")
+        return f"{self.run_name(seed)}_{kind}"
+
+    # ---- serialization (config travels inside checkpoints, train_ablation.py:281) ----
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        model = d.pop("model", {})
+        train = d.pop("train", {})
+        if isinstance(model.get("fsq_levels"), list):
+            model["fsq_levels"] = tuple(model["fsq_levels"])
+        if isinstance(train.get("seeds"), list):
+            train["seeds"] = tuple(train["seeds"])
+        return cls(model=ModelConfig(**model), train=TrainConfig(**train), **d)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def make_experiment(
+    arch: str,
+    method: str,
+    *,
+    window: int = 64,
+    mode: str = "teacher",
+    seeds: Sequence[int] = (42,),
+    exp_id: Optional[str] = None,
+    name: Optional[str] = None,
+    **overrides: Any,
+) -> ExperimentConfig:
+    """Build an ExperimentConfig with the reference's derived names.
+
+    Mirrors the CLI->config assembly of reference scripts/train_ablation.py:399-418:
+    id = "{arch}_{method}", name = "Exp_{arch}_W{window}".
+    """
+    model_keys = {f.name for f in dataclasses.fields(ModelConfig)}
+    train_keys = {f.name for f in dataclasses.fields(TrainConfig)}
+    model_over = {k: v for k, v in overrides.items() if k in model_keys}
+    train_over = {k: v for k, v in overrides.items() if k in train_keys}
+    other = {k: v for k, v in overrides.items() if k not in model_keys | train_keys}
+    if other:
+        raise TypeError(f"Unknown config overrides: {sorted(other)}")
+    model = ModelConfig(arch=arch, method=method, window_size=window, **model_over)
+    train = TrainConfig(mode=mode, seeds=tuple(seeds), **train_over)
+    return ExperimentConfig(
+        id=exp_id or f"{arch}_{method}",
+        name=name or f"Exp_{arch}_W{window}",
+        model=model,
+        train=train,
+    )
+
+
+# Central ablation registry (reference models/experiment_config.py:9-18).
+# id -> display name -> arch/method; consumed by the LaTeX exporter ordering.
+EXPERIMENTS: List[Dict[str, str]] = [
+    {"id": "simple_ema", "name": "Baseline(Simple)", "arch": "simple", "method": "ema"},
+    {"id": "resnet_ema", "name": "ResNet+EMA", "arch": "resnet", "method": "ema"},
+    {"id": "resnet_rvq", "name": "ResNet+RVQ", "arch": "resnet", "method": "rvq"},
+    {"id": "resnet_fsq", "name": "FSQ", "arch": "resnet", "method": "fsq"},
+    {"id": "resnet_lfq", "name": "LFQ", "arch": "resnet", "method": "lfq"},
+    {"id": "resnet_hybrid", "name": "Ours(Dual-Enc+Hybrid)", "arch": "resnet", "method": "hybrid"},
+]
+
+
+# Full metric schema the evaluators expect (reference export_latex_table.py:19-27,
+# plot_results.py:11-25). The reference train loop only wrote a subset; we log all.
+HISTORY_KEYS: Tuple[str, ...] = (
+    "train_loss",
+    "train_recon_loss",
+    "train_vq_loss",
+    "val_loss",
+    "val_recon",
+    "val_cross_recon",
+    "val_align",
+    "val_vel",
+    "val_jerk",
+    "perplexity",
+    "dcr",
+    "dead_code_ratio",
+    "rvq_ppl",
+)

@@ -1,0 +1,92 @@
+"""Synthetic paired human/robot motion generator.
+
+The reference downloads its dataset from ModelScope (scripts/data/download_data.py)
+which is unreachable here (zero egress) and absent from the snapshot. This module
+generates kinematically plausible paired data with the same shapes and artifact
+contract — smooth multi-sine joint trajectories for the robot (29 DoF) and a
+correlated axis-angle human pose stream (21 joints) passed through the same
+6D-rotation conversion — so the full pipeline (process -> train -> export ->
+replay) runs end-to-end and benchmarks measure realistic compute.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .pipeline import save_artifacts, slice_windows
+
+G1_DOF = 29
+HUMAN_JOINTS = 21  # SMPL-X body joints -> 126-D in 6D form
+
+
+def synth_pair(
+    rng: np.random.Generator, T: int, n_components: int = 4
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One paired (robot (T,29), human-axis-angle (T,63)) sequence.
+
+    Robot and human streams share phase/frequency content (a linear mixing of
+    the same latent oscillators) so a retargeting mapping genuinely exists.
+    """
+    t = np.arange(T, dtype=np.float32)[:, None]  # (T, 1)
+    freqs = rng.uniform(0.01, 0.15, size=(1, n_components)).astype(np.float32)
+    phases = rng.uniform(0, 2 * np.pi, size=(1, n_components)).astype(np.float32)
+    amps = rng.uniform(0.2, 1.0, size=(1, n_components)).astype(np.float32)
+    latent = amps * np.sin(2 * np.pi * freqs * t + phases)  # (T, C)
+
+    w_robot = rng.normal(0, 0.6, size=(n_components, G1_DOF)).astype(np.float32)
+    robot = latent @ w_robot + 0.05 * rng.normal(0, 1, size=(T, G1_DOF)).astype(np.float32)
+
+    w_human = rng.normal(0, 0.4, size=(n_components, HUMAN_JOINTS * 3)).astype(np.float32)
+    human_aa = latent @ w_human  # axis-angle per joint, modest magnitudes
+    return robot.astype(np.float32), human_aa.astype(np.float32)
+
+
+def generate_synthetic_dataset(
+    output_dir: str,
+    n_sequences: int = 32,
+    min_len: int = 120,
+    max_len: int = 600,
+    window: int = 10,
+    step: int = 1,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Generate paired sequences and emit the standard artifact set to disk."""
+    from .rotations import compute_6d_rotation
+
+    rng = np.random.default_rng(seed)
+    robot_slices: List[np.ndarray] = []
+    human_slices: List[np.ndarray] = []
+    robot_raw: List[np.ndarray] = []
+    for _ in range(n_sequences):
+        T = int(rng.integers(min_len, max_len + 1))
+        robot, human_aa = synth_pair(rng, T)
+        human = compute_6d_rotation(human_aa).astype(np.float32)
+        if T >= window:
+            robot_raw.append(robot)
+        r = slice_windows(robot, window, step)
+        h = slice_windows(human, window, step)
+        if len(r) == len(h) and len(r) > 0:
+            robot_slices.append(r)
+            human_slices.append(h)
+    robot_data = np.concatenate(robot_slices)
+    human_data = np.concatenate(human_slices)
+    return save_artifacts(output_dir, robot_data, human_data, robot_raw)
+
+
+def synthetic_npz_tree(root: str, n_files: int = 4, T: int = 200, seed: int = 0) -> str:
+    """Create a raw npz directory tree shaped like the ModelScope download
+    (train subdir with 'joint_pos' + 'smplx_pose_body' keys) for pipeline tests."""
+    rng = np.random.default_rng(seed)
+    train_dir = os.path.join(root, "train_set")
+    os.makedirs(train_dir, exist_ok=True)
+    for i in range(n_files):
+        robot, human_aa = synth_pair(rng, T)
+        np.savez(
+            os.path.join(train_dir, f"motion_{i:03d}.npz"),
+            joint_pos=robot,
+            smplx_pose_body=human_aa.reshape(T, HUMAN_JOINTS, 3),
+        )
+    return root

@@ -1,0 +1,12 @@
+from .dual_vqvae import DualMotionVQVAE, init_model
+from .layers import (
+    ConvDecoder,
+    ConvEncoder,
+    NoDownsampleDecoder,
+    NoDownsampleEncoder,
+    ResBlock1D,
+    TransformerBlock,
+    TransformerMotionDecoder,
+    TransformerMotionEncoder,
+    sinusoidal_pe,
+)

@@ -1,0 +1,217 @@
+"""Encoder/decoder building blocks for the dual VQ-VAE model zoo.
+
+Behavioral twins of reference models/vqvae.py:265-499 (ResBlock1D, simple /
+resnet conv encoders-decoders, full-resolution `resnet_no_down` variants, and
+the transformer-with-single-token-bottleneck pair), re-designed for TPU:
+
+- layout is channel-last ``(B, T, C)`` end-to-end (feature dim on lanes); the
+  reference permutes between (B,T,C) and (B,C,T) around every stage — here
+  there are zero transposes on the hot path;
+- convolutions/linears map straight onto the MXU; BatchNorm statistics are
+  batch-global under data sharding automatically (jit sees global shapes);
+- attention over <=64 tokens with d_model=256 — small, fused by XLA.
+
+Weight initialization uses flax defaults (lecun-normal) rather than torch's
+kaiming-uniform; parity with the reference is statistical, not bitwise
+(SURVEY.md §7 'Hard parts').
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def leaky_relu(x: jax.Array) -> jax.Array:
+    return nn.leaky_relu(x, negative_slope=0.2)
+
+
+def sinusoidal_pe(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
+    """(max_len, d_model) sinusoidal positional table (vqvae.py:412-424)."""
+    position = jnp.arange(max_len, dtype=dtype)[:, None]
+    div_term = jnp.exp(jnp.arange(0, d_model, 2, dtype=dtype) * (-math.log(10000.0) / d_model))
+    pe = jnp.zeros((max_len, d_model), dtype)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe
+
+
+class ResBlock1D(nn.Module):
+    """Conv(3)+BN+LeakyReLU x2 residual block, stride 1 (vqvae.py:265-278)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),))(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = leaky_relu(h)
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = leaky_relu(h)
+        return x + h
+
+
+class ConvEncoder(nn.Module):
+    """'simple' / 'resnet' strided conv encoder, T -> T/4 (vqvae.py:293-325).
+
+    simple: two stride-2 Conv(k=4, p=1) + LeakyReLU.
+    resnet: stride-2 conv, N ResBlocks, stride-2 conv, final ResBlock.
+    """
+
+    hidden_dim: int
+    arch: str = "simple"
+    num_res_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),))(x)
+        h = leaky_relu(h)
+        if self.arch == "resnet":
+            for i in range(self.num_res_layers):
+                h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),))(h)
+        h = leaky_relu(h)
+        if self.arch == "resnet":
+            h = ResBlock1D(self.hidden_dim, name="res_final")(h, train=train)
+        return h
+
+
+class ConvDecoder(nn.Module):
+    """'simple' / 'resnet' upsampling decoder, T/4 -> T (vqvae.py:327-365).
+
+    simple: two ConvTranspose(k=4, s=2, torch p=1 => lax padding (2,2)), i.e.
+    exact 2x length each. resnet: N ResBlocks, then two (nearest-Upsample x2 +
+    Conv(3)) stages with a transition ResBlock.
+    """
+
+    output_dim: int
+    hidden_dim: int
+    arch: str = "simple"
+    num_res_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.arch == "resnet":
+            h = x
+            for i in range(self.num_res_layers):
+                h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
+            h = jnp.repeat(h, 2, axis=1)  # nearest upsample x2
+            h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
+            h = leaky_relu(h)
+            h = ResBlock1D(self.hidden_dim, name="res_mid")(h, train=train)
+            h = jnp.repeat(h, 2, axis=1)
+            h = nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
+            return h
+        h = nn.ConvTranspose(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),))(x)
+        h = leaky_relu(h)
+        h = nn.ConvTranspose(self.output_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),))(h)
+        return h
+
+
+class NoDownsampleEncoder(nn.Module):
+    """Full-resolution ResNet encoder, stride 1 throughout (vqvae.py:370-391)."""
+
+    hidden_dim: int
+    num_res_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(x)
+        h = leaky_relu(h)
+        for i in range(self.num_res_layers):
+            h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), name="final_conv")(h)
+        return leaky_relu(h)
+
+
+class NoDownsampleDecoder(nn.Module):
+    """Full-resolution ResNet decoder, stride 1 (vqvae.py:393-410)."""
+
+    output_dim: int
+    hidden_dim: int
+    num_res_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        h = x
+        for i in range(self.num_res_layers):
+            h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
+        return nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), name="out_conv")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Post-LN transformer encoder layer (torch nn.TransformerEncoderLayer
+    defaults: relu FF, dropout 0.1, norm after residual — vqvae.py:437)."""
+
+    d_model: int
+    n_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.n_heads,
+            qkv_features=self.d_model,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            name="self_attn",
+        )(x, x)
+        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+        h = nn.Dense(self.ff_dim, name="ff1")(x)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model, name="ff2")(h)
+        x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
+        return x
+
+
+class TransformerMotionEncoder(nn.Module):
+    """Linear -> PE -> 4x transformer -> mean-pool to ONE token -> Linear
+    (vqvae.py:429-463). Output (B, 1, hidden_dim): the whole window becomes a
+    single latent token."""
+
+    hidden_dim: int
+    d_model: int = 256
+    n_heads: int = 4
+    num_layers: int = 4
+    ff_dim: int = 512
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (B, T, C_in)
+        h = nn.Dense(self.d_model, name="input_proj")(x)
+        h = h + sinusoidal_pe(x.shape[1], self.d_model, h.dtype)
+        for i in range(self.num_layers):
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, name=f"layer_{i}")(h, train=train)
+        h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
+        return nn.Dense(self.hidden_dim, name="output_proj")(h)  # (B, 1, hidden)
+
+
+class TransformerMotionDecoder(nn.Module):
+    """Linear -> repeat token seq_len times -> PE -> 4x transformer -> Linear
+    (vqvae.py:465-499). Non-autoregressive one-shot generation."""
+
+    output_dim: int
+    hidden_dim: int
+    seq_len: int
+    d_model: int = 256
+    n_heads: int = 4
+    num_layers: int = 4
+    ff_dim: int = 512
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # x: (B, 1, hidden)
+        h = nn.Dense(self.d_model, name="input_proj")(x)  # (B, 1, d_model)
+        h = jnp.broadcast_to(h, (h.shape[0], self.seq_len, self.d_model))
+        h = h + sinusoidal_pe(self.seq_len, self.d_model, h.dtype)
+        for i in range(self.num_layers):
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, name=f"layer_{i}")(h, train=train)
+        return nn.Dense(self.output_dim, name="output_proj")(h)  # (B, T, out)

@@ -1,0 +1,120 @@
+"""Checkpointing: train-state pytrees + config, teacher->student transfer.
+
+Reproduces the reference's checkpoint contract (scripts/train_ablation.py:276-291,
+357-364) with JAX-native serialization:
+
+- `{run_name}_last.ckpt` every epoch: {epoch, variables, opt_state, best_loss, config}
+- `{run_name}_best.ckpt` on improvement
+- `{run_name}_final.ckpt` bare variables at the end
+- config travels inside the checkpoint and is recovered by consumers
+- teacher->student transfer: drop every `human_encoder` subtree, merge into a
+  fresh student, freeze all non-human_encoder params (string key matching in
+  the reference, train_ablation.py:167-180; pytree path filtering here).
+
+Format: a single msgpack file written atomically (tmp + rename), holding the
+state dict plus the ExperimentConfig JSON. No torch, no pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import numpy as np
+
+from ..config import ExperimentConfig
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    *,
+    epoch: int,
+    variables: Dict[str, Any],
+    opt_state: Any = None,
+    best_loss: float = float("inf"),
+    config: Optional[ExperimentConfig] = None,
+) -> None:
+    payload = {
+        "epoch": np.int64(epoch),
+        "variables": flax.serialization.to_state_dict(_to_host(variables)),
+        "opt_state": flax.serialization.to_state_dict(_to_host(opt_state)) if opt_state is not None else {},
+        "best_loss": np.float64(best_loss),
+        "config_json": config.to_json() if config is not None else "",
+    }
+    data = flax.serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    out = {
+        "epoch": int(payload["epoch"]),
+        "variables": payload["variables"],
+        "opt_state": payload["opt_state"],
+        "best_loss": float(payload["best_loss"]),
+        "config": None,
+    }
+    if payload.get("config_json"):
+        out["config"] = ExperimentConfig.from_json(payload["config_json"])
+    return out
+
+
+def restore_variables(template: Dict[str, Any], state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a variables pytree from its state dict using a freshly-initialized
+    template (shapes/structure come from the template, values from the dict)."""
+    return flax.serialization.from_state_dict(template, state_dict)
+
+
+def restore_opt_state(template: Any, state_dict: Dict[str, Any]) -> Any:
+    return flax.serialization.from_state_dict(template, state_dict)
+
+
+# ---- teacher -> student transfer ----
+
+def is_human_encoder_path(path: Tuple) -> bool:
+    return any(getattr(k, "key", getattr(k, "name", None)) == "human_encoder" for k in path)
+
+
+def merge_teacher_into_student(
+    student_vars: Dict[str, Any], teacher_vars: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Copy every teacher leaf EXCEPT human_encoder subtrees into the student
+    (train_ablation.py:172-175). Works across all collections (params,
+    batch_stats, qstats)."""
+
+    def merge(path, s_leaf, t_leaf):
+        if t_leaf is None or is_human_encoder_path(path):
+            return s_leaf
+        return t_leaf
+
+    # teacher/student trees share structure (same model config); tolerate
+    # teacher missing collections by merging per present collection.
+    out = dict(student_vars)
+    for col, s_tree in student_vars.items():
+        if col in teacher_vars:
+            out[col] = jax.tree_util.tree_map_with_path(
+                lambda p, s, t: merge(p, s, t), s_tree, teacher_vars[col]
+            )
+    return out
+
+
+def trainable_mask(params: Dict[str, Any], mode: str) -> Dict[str, Any]:
+    """Per-leaf boolean mask for the optimizer: teacher trains everything;
+    student trains only human_encoder (train_ablation.py:177-183)."""
+    if mode == "teacher":
+        return jax.tree_util.tree_map(lambda _: True, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_human_encoder_path(path), params
+    )
