@@ -1,0 +1,97 @@
+"""Benchmark harness: W10 VQ-VAE training windows/sec/chip.
+
+Fills the reference's empty scripts/run_benchmark.py niche. Measures the
+north-star metric from BASELINE.md: windows/sec/chip for W=10, 29-DoF teacher
+training of the flagship transformer+hybrid model, batch 4096, dataset
+HBM-resident, whole epoch as one XLA program.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/50000}
+plus secondary metrics on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
+
+
+def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
+                   n_windows=65536, epochs_timed=8):
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.models import init_model
+    from bridgerl_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_epoch,
+        split_variables,
+    )
+
+    exp = make_experiment(arch, method, window=window, mode="teacher", batch_size=batch)
+    model, variables = init_model(exp.model, jax.random.key(0))
+    params, rest = split_variables(variables)
+    tx = make_optimizer(exp, params)
+    state = TrainState(params, rest, tx.init(params))
+
+    key = jax.random.key(1)
+    robot = jax.random.normal(key, (n_windows, window, 29), jnp.float32)
+    human = jax.random.normal(key, (n_windows, window, 126), jnp.float32)
+
+    nb = n_windows // batch
+    idx = jnp.arange(nb * batch).reshape(nb, batch)
+    keys = jax.random.split(jax.random.key(2), nb)
+
+    train_epoch = make_train_epoch(model, tx, exp, mesh=None)
+
+    # warmup/compile (twice: the first post-compile dispatch can overlap
+    # runtime setup on tunneled platforms and pollute short timings)
+    for _ in range(2):
+        state, logs = train_epoch(state, robot, human, idx, keys)
+        jax.block_until_ready(logs["train_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(epochs_timed):
+        state, logs = train_epoch(state, robot, human, idx, keys)
+    jax.block_until_ready(logs["train_loss"])
+    dt = time.perf_counter() - t0
+
+    windows = epochs_timed * nb * batch
+    n_chips = jax.device_count()
+    return windows / dt / n_chips, float(logs["train_loss"])
+
+
+def bench_replay(frames: int = 20000) -> float:
+    """G1 kinematic replay steps/sec (secondary north-star metric)."""
+    from bridgerl_tpu.sim import G1ReplayScene
+
+    scene = G1ReplayScene()
+    return scene.benchmark_steps_per_sec(frames=frames)
+
+
+def main():
+    rate, loss = bench_training()
+    try:
+        replay_sps = bench_replay()
+    except Exception as e:  # keep the primary metric robust
+        replay_sps = -1.0
+        print(f"[bench] replay bench failed: {e}", file=sys.stderr)
+    result = {
+        "metric": "W10 VQ-VAE training windows/sec/chip (transformer+hybrid teacher, batch 4096)",
+        "value": round(rate, 1),
+        "unit": "windows/sec/chip",
+        "vs_baseline": round(rate / BASELINE_WINDOWS_PER_SEC_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+    print(f"[bench] devices={jax.devices()} final_loss={loss:.4f} "
+          f"g1_replay_steps_per_sec={replay_sps:,.0f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

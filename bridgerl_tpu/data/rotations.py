@@ -96,20 +96,31 @@ def compute_6d_rotation(data: np.ndarray) -> np.ndarray:
     Behavioral twin of reference scripts/data/process_data.py:9-29: per frame
     the feature dim is interpreted as J axis-angle triplets if divisible by 3,
     else J xyzw quaternions if divisible by 4.
+
+    Host-side preprocessing: pinned to the CPU backend so the data pipeline
+    never pays accelerator compile/dispatch latency (the same jnp kernels are
+    reused on device elsewhere).
     """
     data = np.asarray(data)
     T = data.shape[0]
     total = data.size // T
     flat = data.reshape(T, total)
-    if total % 3 == 0:
-        J = total // 3
-        R = axis_angle_to_matrix(jnp.asarray(flat.reshape(T * J, 3)))
-    elif total % 4 == 0:
-        J = total // 4
-        R = quat_to_matrix(jnp.asarray(flat.reshape(T * J, 4)))
-    else:
-        raise ValueError(f"Unsupported per-frame feature dim: {total}")
-    d6 = matrix_to_6d(R)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        if total % 3 == 0:
+            J = total // 3
+            R = axis_angle_to_matrix(jnp.asarray(flat.reshape(T * J, 3)))
+        elif total % 4 == 0:
+            J = total // 4
+            R = quat_to_matrix(jnp.asarray(flat.reshape(T * J, 4)))
+        else:
+            raise ValueError(f"Unsupported per-frame feature dim: {total}")
+        d6 = matrix_to_6d(R)
     return np.asarray(d6).reshape(T, J * 6)
 
 

@@ -1,0 +1,2 @@
+from .motion_export import export_motions, load_model_from_checkpoint, load_stats, robot_recon_fn
+from .reconstruct import reconstruct_long_sequence, reconstruct_single_window, window_starts

@@ -1,0 +1,250 @@
+"""URDF parsing -> fixed kinematic chain arrays for jittable forward kinematics.
+
+TPU-native replacement for the Isaac Sim articulation layer (reference
+scripts/deployment/play_g1_npy.py:33-46 loads the G1 URDF through Omniverse;
+utils/alignment.py:7-8 intended pinocchio). Here the URDF is parsed once on
+the host into flat numpy arrays (parent indices in topological order, fixed
+origin transforms, joint axes, actuation mapping) that drive a vmapped JAX FK
+(sim/kinematics.py).
+
+The canonical 29-joint actuation order is the single source of truth
+(G1_JOINT_NAMES, mirroring play_g1_npy.py:170-180 — the order of the VQ-VAE's
+29-dim joint vectors).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# Canonical order of the 29 actuated joints == the model's feature order
+# (reference play_g1_npy.py:170-180).
+G1_JOINT_NAMES: List[str] = [
+    "left_hip_pitch_joint", "left_hip_roll_joint", "left_hip_yaw_joint",
+    "left_knee_joint", "left_ankle_pitch_joint", "left_ankle_roll_joint",
+    "right_hip_pitch_joint", "right_hip_roll_joint", "right_hip_yaw_joint",
+    "right_knee_joint", "right_ankle_pitch_joint", "right_ankle_roll_joint",
+    "waist_yaw_joint", "waist_roll_joint", "waist_pitch_joint",
+    "left_shoulder_pitch_joint", "left_shoulder_roll_joint", "left_shoulder_yaw_joint",
+    "left_elbow_joint", "left_wrist_roll_joint", "left_wrist_pitch_joint", "left_wrist_yaw_joint",
+    "right_shoulder_pitch_joint", "right_shoulder_roll_joint", "right_shoulder_yaw_joint",
+    "right_elbow_joint", "right_wrist_roll_joint", "right_wrist_pitch_joint", "right_wrist_yaw_joint",
+]
+
+DEFAULT_ROOT_HEIGHT = 0.74  # fake root z used by the replay (play_g1_npy.py:103)
+
+
+@dataclass
+class JointSpec:
+    name: str
+    joint_type: str            # 'revolute' | 'fixed' | 'prismatic' | 'continuous'
+    parent_link: str
+    child_link: str
+    origin_xyz: List[float]
+    origin_rpy: List[float]
+    axis: List[float]
+    lower: float = 0.0
+    upper: float = 0.0
+
+
+@dataclass
+class KinematicChain:
+    """Flattened tree in topological order, ready for array-based FK.
+
+    Link 0 is the root. For link i>0: joint i-1 connects parent_index[i] -> i.
+    """
+
+    link_names: List[str]
+    joint_names: List[str]                 # per non-root link, the incoming joint
+    parent_index: np.ndarray               # (L,) int32, parent_index[0] == -1
+    origin_pos: np.ndarray                 # (L, 3) fixed translation (root row zero)
+    origin_rot: np.ndarray                 # (L, 3, 3) fixed rotation (root row eye)
+    axis: np.ndarray                       # (L, 3) joint axis (zero for fixed/root)
+    actuated_index: np.ndarray             # (L,) int32 index into q, -1 if fixed
+    actuated_names: List[str]              # canonical q order
+    lower: np.ndarray                      # (A,) joint limits in q order
+    upper: np.ndarray
+
+    @property
+    def num_links(self) -> int:
+        return len(self.link_names)
+
+    @property
+    def num_actuated(self) -> int:
+        return len(self.actuated_names)
+
+    def to_json(self) -> str:
+        d = {
+            "link_names": self.link_names,
+            "joint_names": self.joint_names,
+            "parent_index": self.parent_index.tolist(),
+            "origin_pos": self.origin_pos.tolist(),
+            "origin_rot": self.origin_rot.tolist(),
+            "axis": self.axis.tolist(),
+            "actuated_index": self.actuated_index.tolist(),
+            "actuated_names": self.actuated_names,
+            "lower": self.lower.tolist(),
+            "upper": self.upper.tolist(),
+        }
+        return json.dumps(d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "KinematicChain":
+        d = json.loads(s)
+        return cls(
+            link_names=d["link_names"],
+            joint_names=d["joint_names"],
+            parent_index=np.asarray(d["parent_index"], np.int32),
+            origin_pos=np.asarray(d["origin_pos"], np.float32),
+            origin_rot=np.asarray(d["origin_rot"], np.float32),
+            axis=np.asarray(d["axis"], np.float32),
+            actuated_index=np.asarray(d["actuated_index"], np.int32),
+            actuated_names=d["actuated_names"],
+            lower=np.asarray(d["lower"], np.float32),
+            upper=np.asarray(d["upper"], np.float32),
+        )
+
+
+def rpy_to_matrix(rpy: Sequence[float]) -> np.ndarray:
+    """URDF fixed-axis roll-pitch-yaw -> rotation matrix (R = Rz @ Ry @ Rx)."""
+    r, p, y = rpy
+    cr, sr = math.cos(r), math.sin(r)
+    cp, sp = math.cos(p), math.sin(p)
+    cy, sy = math.cos(y), math.sin(y)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    return (Rz @ Ry @ Rx).astype(np.float32)
+
+
+def parse_urdf_joints(path: str) -> List[JointSpec]:
+    root = ET.parse(path).getroot()
+    joints: List[JointSpec] = []
+    for j in root.findall("joint"):
+        origin = j.find("origin")
+        xyz = [float(v) for v in (origin.get("xyz", "0 0 0") if origin is not None else "0 0 0").split()]
+        rpy = [float(v) for v in (origin.get("rpy", "0 0 0") if origin is not None else "0 0 0").split()]
+        axis_el = j.find("axis")
+        axis = [float(v) for v in (axis_el.get("xyz", "1 0 0") if axis_el is not None else "1 0 0").split()]
+        limit = j.find("limit")
+        lower = float(limit.get("lower", 0.0)) if limit is not None else 0.0
+        upper = float(limit.get("upper", 0.0)) if limit is not None else 0.0
+        joints.append(JointSpec(
+            name=j.get("name"),
+            joint_type=j.get("type", "fixed"),
+            parent_link=j.find("parent").get("link"),
+            child_link=j.find("child").get("link"),
+            origin_xyz=xyz,
+            origin_rpy=rpy,
+            axis=axis,
+            lower=lower,
+            upper=upper,
+        ))
+    return joints
+
+
+def build_chain(
+    joints: List[JointSpec],
+    actuated_order: Optional[Sequence[str]] = None,
+    root_link: Optional[str] = None,
+    keep_fixed: bool = False,
+) -> KinematicChain:
+    """Topologically-sorted chain restricted to links on actuated paths.
+
+    By default fixed-joint leaf decorations (logo, imu, camera frames) are
+    dropped; with keep_fixed=True every link is kept.
+    """
+    by_parent: Dict[str, List[JointSpec]] = {}
+    children_links = set()
+    for j in joints:
+        by_parent.setdefault(j.parent_link, []).append(j)
+        children_links.add(j.child_link)
+    all_parents = {j.parent_link for j in joints}
+    roots = sorted(all_parents - children_links)
+    if root_link is None:
+        if len(roots) != 1:
+            raise ValueError(f"Ambiguous URDF root links: {roots}")
+        root_link = roots[0]
+
+    actuated_order = list(actuated_order) if actuated_order is not None else [
+        j.name for j in joints if j.joint_type in ("revolute", "continuous", "prismatic")
+    ]
+    act_idx = {n: i for i, n in enumerate(actuated_order)}
+    by_name = {j.name: j for j in joints}
+    for n in actuated_order:
+        if n not in by_name:
+            raise ValueError(f"Actuated joint {n} not in URDF")
+
+    # keep only links whose subtree contains an actuated joint (unless keep_fixed)
+    def subtree_has_actuated(link: str) -> bool:
+        for j in by_parent.get(link, []):
+            if j.name in act_idx or subtree_has_actuated(j.child_link):
+                return True
+        return False
+
+    link_names = [root_link]
+    joint_names: List[str] = ["<root>"]
+    parent_index = [-1]
+    origin_pos = [np.zeros(3, np.float32)]
+    origin_rot = [np.eye(3, dtype=np.float32)]
+    axis = [np.zeros(3, np.float32)]
+    actuated_index = [-1]
+
+    def visit(link: str, link_id: int):
+        for j in sorted(by_parent.get(link, []), key=lambda x: x.name):
+            if not keep_fixed and j.name not in act_idx and not subtree_has_actuated(j.child_link):
+                continue
+            child_id = len(link_names)
+            link_names.append(j.child_link)
+            joint_names.append(j.name)
+            parent_index.append(link_id)
+            origin_pos.append(np.asarray(j.origin_xyz, np.float32))
+            origin_rot.append(rpy_to_matrix(j.origin_rpy))
+            a = np.asarray(j.axis, np.float32)
+            n = np.linalg.norm(a)
+            axis.append(a / n if n > 0 else a)
+            actuated_index.append(act_idx.get(j.name, -1))
+            visit(j.child_link, child_id)
+
+    visit(root_link, 0)
+
+    lower = np.zeros(len(actuated_order), np.float32)
+    upper = np.zeros(len(actuated_order), np.float32)
+    for n, i in act_idx.items():
+        lower[i] = by_name[n].lower
+        upper[i] = by_name[n].upper
+
+    return KinematicChain(
+        link_names=link_names,
+        joint_names=joint_names,
+        parent_index=np.asarray(parent_index, np.int32),
+        origin_pos=np.stack(origin_pos),
+        origin_rot=np.stack(origin_rot),
+        axis=np.stack(axis),
+        actuated_index=np.asarray(actuated_index, np.int32),
+        actuated_names=list(actuated_order),
+        lower=lower,
+        upper=upper,
+    )
+
+
+_G1_CACHE: Optional[KinematicChain] = None
+G1_SPEC_PATH = os.path.join(os.path.dirname(__file__), "assets", "g1_29dof.json")
+
+
+def load_g1_chain(urdf_path: Optional[str] = None) -> KinematicChain:
+    """The Unitree G1 29-DoF chain: from an explicit URDF if given, else from
+    the bundled kinematic spec JSON (extracted once from the vendor URDF)."""
+    global _G1_CACHE
+    if urdf_path is not None:
+        return build_chain(parse_urdf_joints(urdf_path), G1_JOINT_NAMES)
+    if _G1_CACHE is None:
+        with open(G1_SPEC_PATH) as f:
+            _G1_CACHE = KinematicChain.from_json(f.read())
+    return _G1_CACHE

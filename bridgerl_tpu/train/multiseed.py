@@ -1,0 +1,195 @@
+"""Multi-seed training as ONE XLA program: seeds become a vmapped leading axis.
+
+The reference runs seeds sequentially through a ProcessPoolExecutor(max_workers=1)
+(scripts/train_ablation.py:427-437) — pure scaffolding. Here the model/optimizer
+state is stacked over a seed axis and the whole scanned epoch is `jax.vmap`'d:
+S seeds train simultaneously in a single jit, sharing the HBM-resident dataset
+(in_axes=None) while keeping independent params, BatchNorm stats, EMA codebooks,
+optimizer moments, shuffles, and train/val splits. On TPU this turns S tiny
+sequential models into one batched program that actually fills the MXU.
+
+Composes with the data mesh: vmap over seeds inside, batch sharding outside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data.dataset import PairedDataset, epoch_batch_indices, split_indices
+from ..models.dual_vqvae import init_model
+from .checkpoint import save_checkpoint
+from .trainer import (
+    TrainState,
+    make_eval_epoch,
+    make_optimizer,
+    make_train_epoch,
+    split_variables,
+    val_index_matrix,
+    empty_history,
+)
+from ..utils.logging import TermColor
+
+
+def init_states_vmapped(exp: ExperimentConfig, seeds) -> TrainState:
+    """Stacked TrainState with a leading seed axis (independent inits)."""
+    model, _ = init_model(exp.model, jax.random.key(0))
+
+    def one(seed_key):
+        _, variables = init_model(exp.model, seed_key)
+        params, rest = split_variables(variables)
+        tx = make_optimizer(exp, params)
+        return TrainState(params, rest, tx.init(params))
+
+    keys = jnp.stack([jax.random.key(np.uint32(s)) for s in seeds])
+    return jax.vmap(one)(keys)
+
+
+class MultiSeedTrainer:
+    """Trains all seeds of an experiment simultaneously under one jit.
+
+    Early stopping differs from the sequential trainer by necessity: the vmapped
+    program runs fixed-shape epochs, so we stop when EVERY seed has exhausted
+    patience (each seed's best checkpoint is still tracked per-epoch on host).
+    """
+
+    def __init__(self, exp: ExperimentConfig, mesh=None, verbose: bool = True):
+        self.exp = exp
+        self.mesh = mesh
+        self.verbose = verbose
+        os.makedirs(exp.log_dir, exist_ok=True)
+        os.makedirs(exp.checkpoint_dir, exist_ok=True)
+
+    def run(self, ds: PairedDataset) -> Dict[int, Dict[str, list]]:
+        exp, tcfg = self.exp, self.exp.train
+        seeds = list(tcfg.seeds)
+        S = len(seeds)
+        mode = tcfg.mode
+        if self.verbose:
+            print(f"{TermColor.HEADER}🚀 Multi-seed vmap: {exp.name} x {S} seeds | "
+                  f"Mode: {mode.upper()}{TermColor.ENDC}")
+
+        model, _ = init_model(exp.model, jax.random.key(0))
+        states = init_states_vmapped(exp, seeds)
+        tx = make_optimizer(exp, jax.tree_util.tree_map(lambda x: x[0], states.params))
+
+        # per-seed deterministic splits (independent, like per-process set_seed)
+        n = len(ds)
+        splits = [split_indices(n, tcfg.val_fraction, s) for s in seeds]
+        n_train = min(len(tr) for tr, _ in splits)
+        n_val = min(len(va) for _, va in splits)
+        train_idx = jnp.asarray(np.stack([tr[:n_train] for tr, _ in splits]))  # (S, n_train)
+        val_idx = jnp.asarray(np.stack([va[:n_val] for _, va in splits]))      # (S, n_val)
+
+        batch = min(tcfg.batch_size, n_train)
+        vmat = val_index_matrix(n_val, tcfg.batch_size)  # indices into the val subset
+
+        # Inner fns carry NO sharding constraints: under multi-seed the natural
+        # mesh layout is "shard the SEED axis over devices" (each device owns
+        # whole seeds; zero cross-device collectives in the hot loop).
+        epoch_fn = make_train_epoch(model, tx, exp, None)
+        eval_fn = make_eval_epoch(model, None)
+
+        if self.mesh is not None and S % self.mesh.devices.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            states = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(
+                    self.mesh, P(self.mesh.axis_names[0], *([None] * (x.ndim - 1))))),
+                states)
+
+        # vmap: state/idx/keys stacked over seeds; dataset shared
+        vm_epoch = jax.jit(jax.vmap(epoch_fn, in_axes=(0, None, None, 0, 0)),
+                           donate_argnums=(0,))
+        vm_eval = jax.jit(jax.vmap(
+            lambda st_vars, vidx: eval_fn(st_vars, ds.robot, ds.human, vidx),
+            in_axes=(0, 0)))
+
+        histories = {s: empty_history() for s in seeds}
+        best = {s: float("inf") for s in seeds}
+        patience_counters = {s: 0 for s in seeds}
+        root_keys = {s: jax.random.key(np.uint32(s)) for s in seeds}
+        t0 = time.time()
+        nb = n_train // batch
+        last_epoch = 0
+
+        for epoch in range(tcfg.epochs):
+            last_epoch = epoch
+            idx_mats, key_mats = [], []
+            for s in seeds:
+                ekey = jax.random.fold_in(root_keys[s], epoch)
+                perm_key, drop_key = jax.random.split(ekey)
+                local = epoch_batch_indices(perm_key, n_train, batch)  # into train subset
+                idx_mats.append(jnp.take(train_idx[seeds.index(s)], local))  # global ids
+                key_mats.append(jax.random.split(drop_key, nb))
+            idx_stack = jnp.stack(idx_mats)   # (S, nb, B)
+            key_stack = jnp.stack(key_mats)   # (S, nb)
+
+            states, logs = vm_epoch(states, ds.robot, ds.human, idx_stack, key_stack)
+            # validation: map val-chunk indices into each seed's global val ids
+            vidx_stack = jnp.take(val_idx, jnp.asarray(vmat), axis=1)  # (S, nbv, vb)
+            vals = vm_eval(jax.vmap(lambda s: s.variables())(states), vidx_stack)
+
+            logs_h = {k: np.asarray(v) for k, v in logs.items()}
+            vals_h = {k: np.asarray(v) for k, v in vals.items()}
+            all_stalled = True
+            for i, s in enumerate(seeds):
+                h = histories[s]
+                cur = float(vals_h["val_recon"][i] if mode == "teacher" else vals_h["val_align"][i])
+                h["train_loss"].append(float(logs_h["train_loss"][i]))
+                h["train_recon_loss"].append(float(logs_h.get("train_recon_loss", np.zeros(S))[i]))
+                h["train_vq_loss"].append(float(logs_h.get("train_vq_loss", np.zeros(S))[i]))
+                h["val_loss"].append(cur)
+                for k in ("val_recon", "val_cross_recon", "val_align", "val_vel",
+                          "val_jerk", "perplexity", "dcr", "rvq_ppl"):
+                    if k in vals_h:
+                        h[k].append(float(vals_h[k][i]))
+                h["dead_code_ratio"].append(float(vals_h.get("dcr", np.zeros(S))[i]))
+
+                if cur < best[s]:
+                    best[s] = cur
+                    patience_counters[s] = 0
+                    self._save_seed(states, i, s, epoch, best[s], kind="best")
+                else:
+                    patience_counters[s] += 1
+                if tcfg.patience <= 0 or patience_counters[s] < tcfg.patience:
+                    all_stalled = False
+
+                with open(os.path.join(exp.log_dir, exp.log_name(s)), "w") as f:
+                    json.dump(h, f, indent=4)
+
+            if self.verbose and (epoch % 5 == 0 or epoch == tcfg.epochs - 1):
+                tl = float(np.mean(logs_h["train_loss"]))
+                vkey = "val_recon" if mode == "teacher" else "val_align"
+                vl = float(np.mean(vals_h[vkey]))
+                dt = time.time() - t0
+                eta = (tcfg.epochs - epoch - 1) * dt / (epoch + 1)
+                print(f"Ep {epoch}: mean train {tl:.4f} | mean {vkey} {vl:.4f} | "
+                      f"{TermColor.CYAN}ETA {int(eta)}s{TermColor.ENDC}")
+
+            if tcfg.patience > 0 and all_stalled:
+                if self.verbose:
+                    print(f"{TermColor.RED}!!! All seeds early-stopped at epoch {epoch} !!!{TermColor.ENDC}")
+                break
+
+        for i, s in enumerate(seeds):
+            self._save_seed(states, i, s, last_epoch, best[s], kind="last")
+            self._save_seed(states, i, s, last_epoch, best[s], kind="final")
+            with open(os.path.join(
+                    exp.log_dir, f"log_{exp.name}_{mode}_seed_{s}.json"), "w") as f:
+                json.dump(histories[s], f, indent=4)
+        return histories
+
+    def _save_seed(self, states: TrainState, i: int, seed: int, epoch: int,
+                   best_loss: float, kind: str) -> None:
+        one = jax.tree_util.tree_map(lambda x: x[i], states)
+        path = os.path.join(self.exp.checkpoint_dir, self.exp.ckpt_name(seed, kind) + ".ckpt")
+        save_checkpoint(path, epoch=epoch, variables=one.variables(),
+                        opt_state=one.opt_state if kind != "final" else None,
+                        best_loss=best_loss, config=self.exp)

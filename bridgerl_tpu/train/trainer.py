@@ -1,0 +1,299 @@
+"""Training driver: jitted scanned epochs, teacher/student stages, early
+stopping, resume, full-schema history logging.
+
+Behavioral twin of reference scripts/train_ablation.py:115-371, re-designed
+for TPU throughput:
+
+- the ENTIRE epoch is one XLA program: `lax.scan` over pre-shuffled batch
+  indices gathering from the HBM-resident dataset — no per-step dispatch, no
+  DataLoader workers, no H2D copies inside the epoch (SURVEY.md §7 step 7);
+- state (params + batch_stats + EMA qstats + optimizer) is an explicit pytree
+  donated across epochs;
+- data parallelism: batches carry a `NamedSharding` constraint over the mesh's
+  `data` axis — XLA all-reduces gradients/BN/EMA statistics over ICI;
+- teacher->student: teacher variables merged minus human_encoder, non-human
+  params frozen via optax.multi_transform (masked AdamW, so frozen params get
+  neither updates nor weight decay);
+- history JSON carries the FULL metric schema the evaluators expect
+  (val_recon/val_cross_recon/val_align/val_vel/val_jerk/perplexity/dcr/
+  dead_code_ratio/rvq_ppl) — the reference computed most of these but never
+  persisted them (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import HISTORY_KEYS, ExperimentConfig
+from ..data.dataset import PairedDataset, epoch_batch_indices, train_val_split
+from ..models.dual_vqvae import DualMotionVQVAE, init_model
+from ..parallel.mesh import shard_batch
+from ..utils.logging import TermColor, epoch_log
+from .checkpoint import (
+    load_checkpoint,
+    merge_teacher_into_student,
+    restore_variables,
+    save_checkpoint,
+    trainable_mask,
+)
+from .losses import eval_metrics, student_loss, teacher_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    rest: Dict[str, Any]  # non-param collections: batch_stats, qstats
+    opt_state: Any
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, **self.rest}
+
+
+def split_variables(variables: Dict[str, Any]) -> Tuple[Any, Dict[str, Any]]:
+    rest = {k: v for k, v in variables.items() if k != "params"}
+    return variables["params"], rest
+
+
+def make_optimizer(exp: ExperimentConfig, params: Any) -> optax.GradientTransformation:
+    tcfg = exp.train
+    tx = optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+    if tcfg.mode == "student":
+        mask = trainable_mask(params, "student")
+        labels = jax.tree_util.tree_map(lambda t: "train" if t else "freeze", mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
+
+
+def make_train_epoch(
+    model: DualMotionVQVAE,
+    tx: optax.GradientTransformation,
+    exp: ExperimentConfig,
+    mesh=None,
+) -> Callable:
+    """Build the jitted scanned-epoch function for the given mode."""
+    tcfg = exp.train
+    mode = tcfg.mode
+
+    def loss_fn(params, rest, x_r, x_h, key):
+        variables = {"params": params, **rest}
+        mutable = list(rest.keys())
+        kwargs = dict(train=True, rngs={"dropout": key})
+        if mode == "teacher":
+            args = dict(x_robot=x_r, x_human=None)
+        else:
+            args = dict(x_robot=x_r, x_human=x_h)
+        if mutable:
+            out, new_rest = model.apply(variables, **args, **kwargs, mutable=mutable)
+        else:
+            out, new_rest = model.apply(variables, **args, **kwargs), {}
+        if mode == "teacher":
+            parts = teacher_loss(
+                out["robot"]["recon"], x_r, out["robot"]["loss_vq"],
+                tcfg.lambda_recon, tcfg.lambda_vq, tcfg.lambda_vel)
+            logs = {
+                "train_loss": parts["loss"],
+                "train_recon_loss": parts["recon_loss"],
+                "train_vq_loss": parts["vq_loss"],
+            }
+        else:
+            parts = student_loss(out["human"]["z_e"], out["robot"]["z_e"], tcfg.lambda_align)
+            logs = {"train_loss": parts["loss"], "train_align": parts["align_loss"]}
+        return parts["loss"], (new_rest, logs)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def train_epoch(state: TrainState, robot, human, idx_mat, keys):
+        def body(state: TrainState, xs):
+            idx, key = xs
+            x_r = shard_batch(mesh, jnp.take(robot, idx, axis=0))
+            x_h = shard_batch(mesh, jnp.take(human, idx, axis=0)) if mode == "student" else None
+            (_, (new_rest, logs)), grads = grad_fn(state.params, state.rest, x_r, x_h, key)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return TrainState(new_params, new_rest, new_opt), logs
+
+        state, logs = jax.lax.scan(body, state, (idx_mat, keys))
+        return state, jax.tree_util.tree_map(jnp.mean, logs)
+
+    return jax.jit(train_epoch, donate_argnums=(0,))
+
+
+def make_eval_epoch(model: DualMotionVQVAE, mesh=None) -> Callable:
+    """Jitted validation pass: both branches in eval mode, full metric schema.
+
+    The reference's val loop runs model(x_robot, x_human) regardless of mode
+    (train_ablation.py:236-243); we do the same so cross/align metrics are
+    always available.
+    """
+
+    def eval_epoch(variables, robot, human, idx_mat):
+        def body(carry, idx):
+            x_r = shard_batch(mesh, jnp.take(robot, idx, axis=0))
+            x_h = shard_batch(mesh, jnp.take(human, idx, axis=0))
+            out = model.apply(variables, x_robot=x_r, x_human=x_h, train=False)
+            return carry, eval_metrics(out, x_r)
+
+        _, ms = jax.lax.scan(body, None, idx_mat)
+        return jax.tree_util.tree_map(jnp.mean, ms)
+
+    return jax.jit(eval_epoch)
+
+
+def val_index_matrix(n_val: int, batch_size: int) -> np.ndarray:
+    """Deterministic chunking of the val set (drop remainder; at least 1 batch)."""
+    vb = min(batch_size, n_val)
+    nb = max(n_val // vb, 1)
+    return np.arange(nb * vb).reshape(nb, vb)
+
+
+def empty_history() -> Dict[str, list]:
+    return {k: [] for k in HISTORY_KEYS}
+
+
+class Trainer:
+    """Host-level orchestration of one experiment across seeds."""
+
+    def __init__(self, exp: ExperimentConfig, mesh=None, verbose: bool = True):
+        self.exp = exp
+        self.mesh = mesh
+        self.verbose = verbose
+        os.makedirs(exp.log_dir, exist_ok=True)
+        os.makedirs(exp.checkpoint_dir, exist_ok=True)
+
+    # ---- paths (reference naming, train_ablation.py:124-126, 142, 289, 363) ----
+    def _log_path(self, seed: int) -> str:
+        return os.path.join(self.exp.log_dir, self.exp.log_name(seed))
+
+    def _mode_log_path(self, seed: int) -> str:
+        return os.path.join(
+            self.exp.log_dir, f"log_{self.exp.name}_{self.exp.train.mode}_seed_{seed}.json")
+
+    def _ckpt_path(self, seed: int, kind: str) -> str:
+        return os.path.join(self.exp.checkpoint_dir, self.exp.ckpt_name(seed, kind) + ".ckpt")
+
+    def train_seed(self, ds: PairedDataset, seed: int) -> Dict[str, list]:
+        exp, tcfg = self.exp, self.exp.train
+        mode = tcfg.mode
+        run_name = exp.run_name(seed)
+        if self.verbose:
+            print(f"{TermColor.HEADER}🚀 Start: {run_name} | Mode: {mode.upper()} | "
+                  f"Devices: {jax.device_count()}{TermColor.ENDC}")
+
+        root_key = jax.random.key(np.uint32(seed))
+        init_key, _ = jax.random.split(root_key)
+        model, variables = init_model(exp.model, init_key)
+
+        # ---- resume / student transfer (train_ablation.py:152-180) ----
+        start_epoch = 0
+        best_val = float("inf")
+        history = empty_history()
+        last_path = self._ckpt_path(seed, "last")
+        if tcfg.resume and os.path.exists(last_path):
+            ck = load_checkpoint(last_path)
+            variables = restore_variables(variables, ck["variables"])
+            if os.path.exists(self._log_path(seed)):
+                try:
+                    with open(self._log_path(seed)) as f:
+                        loaded = json.load(f)
+                    history.update({k: v for k, v in loaded.items() if k in history})
+                except Exception:
+                    pass
+            if ck["config"] is not None and ck["config"].train.mode == mode:
+                start_epoch = ck["epoch"] + 1
+                best_val = ck["best_loss"]
+            if self.verbose:
+                print(f"{TermColor.CYAN}    [Resume] {last_path} @ epoch {start_epoch}{TermColor.ENDC}")
+        elif mode == "student":
+            if not tcfg.teacher_ckpt or not os.path.exists(tcfg.teacher_ckpt):
+                raise ValueError("Student mode requires a valid teacher_ckpt")
+            tck = load_checkpoint(tcfg.teacher_ckpt)
+            teacher_vars = restore_variables(variables, tck["variables"])
+            variables = merge_teacher_into_student(variables, teacher_vars)
+            if self.verbose:
+                print(f"{TermColor.BLUE}    [Student] Loaded teacher: {tcfg.teacher_ckpt}{TermColor.ENDC}")
+
+        params, rest = split_variables(variables)
+        tx = make_optimizer(exp, params)
+        state = TrainState(params, rest, tx.init(params))
+
+        train_ds, val_ds = train_val_split(ds, tcfg.val_fraction, seed)
+        n_train = len(train_ds)
+        idx_val = jnp.asarray(val_index_matrix(len(val_ds), tcfg.batch_size))
+
+        train_epoch = make_train_epoch(model, tx, exp, self.mesh)
+        eval_epoch = make_eval_epoch(model, self.mesh)
+
+        patience = tcfg.patience
+        patience_counter = 0
+        t0 = time.time()
+
+        for epoch in range(start_epoch, tcfg.epochs):
+            ekey = jax.random.fold_in(root_key, epoch)
+            perm_key, drop_key = jax.random.split(ekey)
+            idx_mat = epoch_batch_indices(perm_key, n_train, min(tcfg.batch_size, n_train))
+            keys = jax.random.split(drop_key, idx_mat.shape[0])
+            state, logs = train_epoch(state, train_ds.robot, train_ds.human, idx_mat, keys)
+            val = eval_epoch(state.variables(), val_ds.robot, val_ds.human, idx_val)
+
+            logs = {k: float(v) for k, v in logs.items()}
+            val = {k: float(v) for k, v in val.items()}
+            cur = val["val_recon"] if mode == "teacher" else val["val_align"]
+
+            # full-schema history
+            history["train_loss"].append(logs["train_loss"])
+            history["train_recon_loss"].append(logs.get("train_recon_loss", 0.0))
+            history["train_vq_loss"].append(logs.get("train_vq_loss", 0.0))
+            history["val_loss"].append(cur)
+            for k in ("val_recon", "val_cross_recon", "val_align", "val_vel", "val_jerk",
+                      "perplexity", "dcr", "rvq_ppl"):
+                if k in val:
+                    history[k].append(val[k])
+            history["dead_code_ratio"].append(val.get("dcr", 0.0))
+
+            # ETA + colored log every 5 epochs (train_ablation.py:263-273)
+            if self.verbose and (epoch % 5 == 0 or epoch == tcfg.epochs - 1):
+                done = epoch - start_epoch + 1
+                eta = (tcfg.epochs - epoch - 1) * ((time.time() - t0) / done)
+                epoch_log(epoch, logs["train_loss"], cur,
+                          "Recon" if mode == "teacher" else "Align", eta)
+
+            # save last + history every epoch (train_ablation.py:276-284)
+            save_checkpoint(last_path, epoch=epoch, variables=state.variables(),
+                            opt_state=state.opt_state, best_loss=best_val, config=exp)
+            with open(self._log_path(seed), "w") as f:
+                json.dump(history, f, indent=4)
+
+            # best tracking + early stop (train_ablation.py:287-301)
+            if cur < best_val:
+                best_val = cur
+                save_checkpoint(self._ckpt_path(seed, "best"), epoch=epoch,
+                                variables=state.variables(), opt_state=state.opt_state,
+                                best_loss=best_val, config=exp)
+                patience_counter = 0
+            elif patience > 0:
+                patience_counter += 1
+                if patience_counter >= patience:
+                    if self.verbose:
+                        print(f"{TermColor.RED}!!! Early stopping at epoch {epoch} "
+                              f"(no improvement for {patience}) !!!{TermColor.ENDC}")
+                    break
+
+        # final artifacts (run_task, train_ablation.py:350-364)
+        save_checkpoint(self._ckpt_path(seed, "final"), epoch=epoch,
+                        variables=state.variables(), best_loss=best_val, config=exp)
+        with open(self._mode_log_path(seed), "w") as f:
+            json.dump(history, f, indent=4)
+        return history
+
+    def run(self, ds: PairedDataset) -> Dict[int, Dict[str, list]]:
+        return {seed: self.train_seed(ds, seed) for seed in self.exp.train.seeds}

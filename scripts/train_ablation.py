@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Multi-seed ablation training driver.
+
+CLI twin of reference scripts/train_ablation.py:374-437 with the same flags
+(--mode teacher|student --arch --method --window --epochs --batch_size --seed
+[s...] --patience --resume --teacher_ckpt) plus TPU-specific ones:
+
+--multiseed      train all seeds simultaneously under one vmapped jit
+                 (replaces the reference's size-1 process pool)
+--data_parallel  shard the batch over all local devices (replaces DataParallel;
+                 the reference's --force_multi_gpu is accepted as an alias)
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", type=str, default="hybrid")
+    p.add_argument("--arch", type=str, default="transformer")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--seed", type=int, nargs="+", default=[42])
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--patience", type=int, default=-1)
+    p.add_argument("--mode", type=str, default="teacher", choices=["teacher", "student"])
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--teacher_ckpt", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default="data/processed")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--multiseed", action="store_true",
+                   help="vmap all seeds into one XLA program")
+    p.add_argument("--data_parallel", "--force_multi_gpu", action="store_true",
+                   dest="data_parallel", help="shard batch over all devices")
+    args = p.parse_args()
+
+    import jax
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.data import PairedDataset, load_artifacts
+    from bridgerl_tpu.parallel import make_mesh
+    from bridgerl_tpu.train import MultiSeedTrainer, Trainer
+
+    arrays = load_artifacts(args.data_dir)
+    ds = PairedDataset.from_numpy(arrays["g1_train.npy"], arrays["human_train.npy"])
+    print(f"Dataset loaded. Dim: R={ds.robot_dim}/H={ds.human_dim}, "
+          f"N={len(ds)}, Batch={args.batch_size}")
+
+    exp = make_experiment(
+        args.arch, args.method, window=args.window, mode=args.mode,
+        seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
+        patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
+        learning_rate=args.lr, hidden_dim=args.hidden_dim,
+        human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
+    )
+
+    mesh = make_mesh() if args.data_parallel and jax.device_count() > 1 else None
+    if mesh is not None:
+        print(f"!!! Data-parallel over {jax.device_count()} devices !!!")
+
+    if args.multiseed and len(args.seed) > 1:
+        MultiSeedTrainer(exp, mesh=mesh).run(ds)
+    else:
+        Trainer(exp, mesh=mesh).run(ds)
+    for seed in args.seed:
+        print(f"Success: {exp.name} | Mode: {args.mode} | Seed: {seed}")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,13 +9,17 @@ Must set env vars BEFORE jax initializes a backend, hence module-level here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Env-var overrides alone are not enough here: the session's site hook
+# (PYTHONPATH sitecustomize) pre-sets jax_platforms, so force via jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,151 @@
+"""Export (overlap-add reconstruction) and evaluation (plots/latex) tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridgerl_tpu.export import (
+    reconstruct_long_sequence,
+    reconstruct_single_window,
+    window_starts,
+)
+from bridgerl_tpu.eval import generate_latex, load_and_aggregate, plot_all, smooth
+
+
+# ---------- window placement ----------
+
+def test_window_starts_matches_reference_loop():
+    """Starts must replicate the reference while-loop + tail logic
+    (export_motion.py:42-77)."""
+    for T, W, S in [(600, 10, 5), (100, 64, 32), (23, 10, 4), (11, 10, 5), (20, 10, 10)]:
+        ref = []
+        cur = 0
+        while cur + W <= T:
+            ref.append(cur)
+            cur += S
+        if cur < T:
+            ref.append(T - W)
+        ours = window_starts(T, W, S).tolist()
+        # dedupe trailing repeat (reference may add T-W twice when cur==T-W+S>T)
+        assert ours == sorted(set(ref)), (T, W, S, ours, ref)
+
+
+def test_overlap_add_identity_model():
+    """With an identity 'model', reconstruction must return the input exactly
+    (every frame covered, averaging of identical windows is lossless)."""
+    T, W, S, D = 57, 10, 4, 29
+    rng = np.random.default_rng(0)
+    seq = rng.normal(size=(T, D)).astype(np.float32)
+    mean = seq.reshape(-1, D).mean(0)
+    std = seq.reshape(-1, D).std(0) + 1e-6
+    out = reconstruct_long_sequence(lambda x: x, seq, W, S, mean, std)
+    np.testing.assert_allclose(out, seq, atol=1e-4)
+
+
+def test_overlap_add_averages_overlaps():
+    """A constant-offset model must produce a constant offset everywhere —
+    the count buffer normalizes overlapping accumulation correctly."""
+    T, W, S, D = 30, 10, 3, 4
+    seq = np.zeros((T, D), np.float32)
+    mean = np.zeros(D, np.float32)
+    std = np.ones(D, np.float32)
+    out = reconstruct_long_sequence(lambda x: x + 2.0, seq, W, S, mean, std)
+    np.testing.assert_allclose(out, 2.0 * np.ones((T, D)), atol=1e-5)
+
+
+def test_short_sequence_returns_none():
+    seq = np.zeros((8, 4), np.float32)
+    assert reconstruct_long_sequence(lambda x: x, seq, 10, 5,
+                                     np.zeros(4), np.ones(4)) is None
+    out = reconstruct_single_window(lambda x: x, np.zeros((12, 4), np.float32), 10,
+                                    np.zeros(4, np.float32), np.ones(4, np.float32))
+    assert out.shape == (10, 4)
+
+
+# ---------- full export path ----------
+
+def test_export_motions_from_checkpoint(tmp_path):
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.data import PairedDataset, generate_synthetic_dataset
+    from bridgerl_tpu.train import Trainer
+
+    data_dir = str(tmp_path / "processed")
+    arrays = generate_synthetic_dataset(data_dir, n_sequences=3, min_len=30, max_len=50,
+                                        window=10, step=2, seed=0)
+    ds = PairedDataset.from_numpy(arrays["g1_train.npy"], arrays["human_train.npy"])
+    exp = make_experiment("resnet_no_down", "ae", window=10, epochs=1, batch_size=32,
+                          hidden_dim=16, num_res_layers=1)
+    import dataclasses
+    exp = dataclasses.replace(exp, log_dir=str(tmp_path / "results"),
+                              checkpoint_dir=str(tmp_path / "ckpts"))
+    Trainer(exp, verbose=False).train_seed(ds, 42)
+
+    from bridgerl_tpu.export import export_motions
+    ckpt = os.path.join(exp.checkpoint_dir, "Exp_resnet_no_down_W10_ae_teacher_seed_42_best.ckpt")
+    out_dir = str(tmp_path / "motions")
+    written = export_motions(ckpt, data_dir=data_dir, output_dir=out_dir,
+                             num_samples=2, verbose=False)
+    assert len(written) == 4
+    recon_files = [f for f in os.listdir(out_dir) if f.startswith("recon_")]
+    assert any("FullSeq_W10" in f for f in recon_files)
+    gt = np.load(os.path.join(out_dir, "idx0_gt.npy"))
+    rec = np.load(os.path.join(out_dir, [f for f in recon_files if "idx0" in f][0]))
+    assert gt.shape == rec.shape and gt.shape[1] == 29
+
+
+# ---------- plotting / latex ----------
+
+def _fake_logs(log_dir, exp_id, seeds=(42, 7), epochs=12):
+    os.makedirs(log_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for s in seeds:
+        log = {
+            "train_loss": (1.0 / np.arange(1, epochs + 1) + rng.normal(0, 0.01, epochs)).tolist(),
+            "val_recon": (0.5 / np.arange(1, epochs + 1)).tolist(),
+            "val_cross_recon": (0.6 / np.arange(1, epochs + 1)).tolist(),
+            "val_align": (0.1 / np.arange(1, epochs + 1)).tolist(),
+            "val_vel": (0.01 * np.ones(epochs)).tolist(),
+            "val_jerk": (0.02 * np.ones(epochs)).tolist(),
+            "perplexity": (100 + np.arange(epochs)).tolist(),
+            "dcr": (0.5 * np.ones(epochs)).tolist(),
+            "dead_code_ratio": (0.5 * np.ones(epochs)).tolist(),
+        }
+        with open(os.path.join(log_dir, f"log_{exp_id}_seed_{s}.json"), "w") as f:
+            json.dump(log, f)
+
+
+def test_smooth_ema():
+    out = smooth([1.0, 0.0, 0.0], weight=0.5)
+    np.testing.assert_allclose(out, [1.0, 0.5, 0.25])
+
+
+def test_aggregate_groups_by_seed(tmp_path):
+    _fake_logs(str(tmp_path), "simple_ema")
+    _fake_logs(str(tmp_path), "resnet_rvq", seeds=(42,))
+    data = load_and_aggregate(str(tmp_path))
+    assert set(data) == {"simple_ema", "resnet_rvq"}
+    assert len(data["simple_ema"]["val_recon"]) == 2  # two seeds
+
+
+def test_plot_all_writes_pngs(tmp_path):
+    _fake_logs(str(tmp_path / "results"), "simple_ema")
+    written = plot_all(str(tmp_path / "results"), str(tmp_path / "plots" / "metrics"))
+    assert any("compare_val_recon" in p for p in written)
+    assert any("radar_chart" in p for p in written)
+    for p in written:
+        assert os.path.getsize(p) > 0
+
+
+def test_latex_table(tmp_path):
+    _fake_logs(str(tmp_path), "simple_ema")
+    _fake_logs(str(tmp_path), "resnet_fsq", seeds=(42,))
+    table = generate_latex(str(tmp_path))
+    assert r"\toprule" in table and "Baseline(Simple)" in table
+    assert "N/A" in table  # experiments without logs
+    # last-5-epoch mean of val_recon for simple_ema: mean(0.5/k, k=8..12)
+    expected = np.mean([0.5 / k for k in range(8, 13)])
+    assert f"{expected:.4f}" in table

@@ -1,0 +1,171 @@
+"""Kinematic sim layer tests: URDF parsing, FK correctness, motion resampling,
+replay scene, renderer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bridgerl_tpu.sim import (
+    DEFAULT_ROOT_HEIGHT,
+    G1_JOINT_NAMES,
+    G1ReplayScene,
+    KinematicChain,
+    build_chain,
+    fk_numpy,
+    load_g1_chain,
+    load_motion,
+    make_batched_fk,
+    make_fk,
+    render_frame,
+    render_motion,
+    resample_indices,
+    rpy_to_matrix,
+    skeleton_segments,
+)
+from bridgerl_tpu.sim.urdf import JointSpec
+
+
+@pytest.fixture(scope="module")
+def g1():
+    return load_g1_chain()
+
+
+# ---------- chain structure ----------
+
+def test_g1_chain_structure(g1):
+    assert g1.num_actuated == 29
+    assert g1.actuated_names == G1_JOINT_NAMES
+    assert g1.link_names[0] == "pelvis"
+    assert g1.parent_index[0] == -1
+    assert (g1.parent_index[1:] < np.arange(1, g1.num_links)).all()  # topo order
+    # limits loaded (knee upper 2.8798 from the vendor URDF)
+    knee = g1.actuated_names.index("left_knee_joint")
+    assert abs(g1.upper[knee] - 2.8798) < 1e-4
+
+
+def test_rpy_matrix_convention():
+    np.testing.assert_allclose(rpy_to_matrix([0, 0, 0]), np.eye(3), atol=1e-7)
+    # yaw 90deg: x-axis -> y-axis
+    R = rpy_to_matrix([0, 0, np.pi / 2])
+    np.testing.assert_allclose(R @ np.array([1, 0, 0]), [0, 1, 0], atol=1e-7)
+
+
+def test_build_chain_simple_two_link():
+    joints = [
+        JointSpec("j1", "revolute", "base", "l1", [0, 0, 1.0], [0, 0, 0], [0, 0, 1], -1, 1),
+        JointSpec("j2", "revolute", "l1", "l2", [1.0, 0, 0], [0, 0, 0], [0, 0, 1], -1, 1),
+        JointSpec("decoration", "fixed", "l2", "cam", [0, 0, 0.1], [0, 0, 0], [1, 0, 0]),
+    ]
+    chain = build_chain(joints, ["j1", "j2"])
+    assert chain.num_links == 3  # decoration dropped
+    fk = make_fk(chain)
+    # q = [90deg, 0]: l2 at base + [0,0,1] + Rz(90)@[1,0,0] = [0,1,1] (+root height offset)
+    pos, rot = fk(jnp.array([np.pi / 2, 0.0]), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(pos[2]), [0, 1, 1], atol=1e-6)
+
+
+# ---------- FK ----------
+
+def test_fk_jax_matches_numpy(g1, rng):
+    q = rng.uniform(-0.5, 0.5, size=29).astype(np.float32)
+    fk = make_fk(g1)
+    pos_j, rot_j = fk(jnp.asarray(q))
+    pos_n, rot_n = fk_numpy(g1, q)
+    np.testing.assert_allclose(np.asarray(pos_j), pos_n, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot_j), rot_n, atol=1e-5)
+
+
+def test_fk_zero_pose_plausible(g1):
+    fk = make_fk(g1)
+    pos, _ = fk(jnp.zeros(29))
+    pos = np.asarray(pos)
+    assert abs(pos[0, 2] - DEFAULT_ROOT_HEIGHT) < 1e-6  # pelvis at fake root height
+    names = g1.link_names
+    la = pos[names.index("left_ankle_roll_link")]
+    ra = pos[names.index("right_ankle_roll_link")]
+    assert la[2] < 0.2 and ra[2] < 0.2            # feet near the ground
+    assert la[1] > ra[1]                           # left foot on +y side
+    lw = pos[names.index("left_wrist_yaw_link")]
+    assert lw[2] > la[2]                           # wrists above feet
+
+
+def test_fk_rotations_are_orthonormal(g1, rng):
+    q = rng.uniform(-1, 1, size=29).astype(np.float32)
+    _, rot = make_fk(g1)(jnp.asarray(q))
+    R = np.asarray(rot)
+    eye = np.broadcast_to(np.eye(3), R.shape)
+    np.testing.assert_allclose(R @ np.swapaxes(R, -1, -2), eye, atol=1e-5)
+
+
+def test_batched_fk_windows(g1, rng):
+    q = rng.uniform(-0.3, 0.3, size=(4, 10, 29)).astype(np.float32)
+    out = make_batched_fk(g1)(jnp.asarray(q))
+    assert out.shape == (4, 10, g1.num_links, 3)
+    single = fk_numpy(g1, q[2, 5])[0]
+    np.testing.assert_allclose(np.asarray(out[2, 5]), single, atol=1e-4)
+
+
+# ---------- motion resampling ----------
+
+def test_resample_indices_reference_semantics():
+    i0, i1, b = resample_indices(11, input_fps=10, output_fps=20)
+    # duration = 1.0s; times = 0,0.05,...,<1.0 -> 20 frames
+    assert len(i0) == 20
+    assert i0[0] == 0 and b[0] == 0.0
+    assert (i1 >= i0).all() and (i1 <= 10).all()
+
+
+def test_load_motion_upsamples_and_velocities():
+    T = 21
+    t = np.linspace(0, 2, T, dtype=np.float32)  # 20 fps -> 1 unit/sec slope...
+    dof = np.tile(t[:, None], (1, 29))  # linear ramp
+    m = load_motion(dof, input_fps=20, output_fps=50)
+    assert m.dof_pos.shape[1] == 29
+    assert m.num_frames == 50  # duration 1.0s @ 50fps
+    # linear ramp: velocity == slope everywhere (2 units/sec)
+    np.testing.assert_allclose(np.asarray(m.dof_vel[5:45]), 2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(m.base_pos[:, 2]), DEFAULT_ROOT_HEIGHT, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.base_rot[:, 0]), 1.0, atol=1e-6)
+
+
+# ---------- replay scene ----------
+
+def test_replay_scene_loop(g1, rng):
+    scene = G1ReplayScene(g1)
+    dof = rng.uniform(-0.2, 0.2, size=(30, 29)).astype(np.float32)
+    m = scene.load(dof, input_fps=20, output_fps=50)
+    pos, rot = scene.step()
+    assert pos.shape == (g1.num_links, 3)
+    # wrap-around flag after a full pass
+    wrapped = False
+    for _ in range(m.num_frames):
+        _, w = scene.get_next_state()
+        wrapped = wrapped or w
+    assert wrapped
+
+
+def test_replay_rollout_matches_step(g1, rng):
+    scene = G1ReplayScene(g1)
+    dof = rng.uniform(-0.2, 0.2, size=(12, 29)).astype(np.float32)
+    scene.load(dof, input_fps=20, output_fps=20)
+    traj = np.asarray(scene.rollout())
+    assert traj.shape[0] == scene.motion.num_frames
+    ref = fk_numpy(g1, np.asarray(scene.motion.dof_pos[3]))[0]
+    np.testing.assert_allclose(traj[3], ref, atol=1e-4)
+
+
+# ---------- rendering ----------
+
+def test_render_frame_and_motion(g1, tmp_path, rng):
+    scene = G1ReplayScene(g1)
+    dof = rng.uniform(-0.2, 0.2, size=(8, 29)).astype(np.float32)
+    scene.load(dof, input_fps=20, output_fps=20)
+    traj = np.asarray(scene.rollout())
+    p = render_frame(g1, traj[0], str(tmp_path / "frame.png"))
+    import os
+    assert os.path.getsize(p) > 0
+    gif = render_motion(g1, traj, str(tmp_path / "motion.gif"), max_frames=4)
+    assert os.path.getsize(gif) > 0
+    segs = skeleton_segments(g1, traj[0])
+    assert segs.shape == (g1.num_links - 1, 2, 3)

@@ -1,0 +1,176 @@
+"""Training subsystem tests: losses, e2e teacher/student smoke training,
+checkpoint/resume, student freezing, early stopping."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridgerl_tpu.config import make_experiment
+from bridgerl_tpu.data import PairedDataset, generate_synthetic_dataset
+from bridgerl_tpu.models import init_model
+from bridgerl_tpu.train import (
+    Trainer,
+    jerk_loss,
+    load_checkpoint,
+    merge_teacher_into_student,
+    student_loss,
+    teacher_loss,
+    trainable_mask,
+    velocity_loss,
+)
+
+KEY = jax.random.key(0)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    arrays = generate_synthetic_dataset(str(d), n_sequences=6, min_len=40, max_len=60,
+                                        window=10, step=2, seed=0)
+    ds = PairedDataset.from_numpy(arrays["g1_train.npy"], arrays["human_train.npy"])
+    return ds
+
+
+def small_exp(tmp_path, mode="teacher", method="ae", arch="resnet_no_down", **kw):
+    defaults = dict(
+        hidden_dim=16, codebook_size=32, num_res_layers=1, d_model=32, ff_dim=64,
+        n_tf_layers=1, epochs=3, batch_size=32, seeds=(42,),
+    )
+    defaults.update(kw)
+    exp = make_experiment(arch, method, window=10, mode=mode, **defaults)
+    return exp.__class__(**{**exp.__dict__,
+                            "log_dir": os.path.join(tmp_path, "results"),
+                            "checkpoint_dir": os.path.join(tmp_path, "checkpoints")})
+
+
+# ---------- loss functions ----------
+
+def test_velocity_and_jerk_losses():
+    x = jnp.cumsum(jnp.ones((2, 10, 3)), axis=1)  # constant velocity
+    y = x + 0.0
+    assert float(velocity_loss(x, y)) == 0.0
+    assert float(jerk_loss(x, y)) == 0.0
+    short = jnp.ones((2, 3, 3))
+    assert float(jerk_loss(short, short * 2)) == 0.0  # window < 4 -> 0
+
+
+def test_teacher_loss_composition():
+    r = jax.random.normal(KEY, (4, 10, 29))
+    x = jax.random.normal(jax.random.key(1), (4, 10, 29))
+    parts = teacher_loss(r, x, jnp.asarray(0.5))
+    expected = parts["recon_loss"] + 0.5 + 0.5 * parts["vel_loss"]
+    np.testing.assert_allclose(float(parts["loss"]), float(expected), rtol=1e-6)
+
+
+def test_student_loss_detaches_robot():
+    zh = jax.random.normal(KEY, (4, 1, 16))
+    zr = jax.random.normal(jax.random.key(1), (4, 1, 16))
+
+    def f(zr):
+        return student_loss(zh, zr)["loss"]
+
+    g = jax.grad(f)(zr)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)  # robot side frozen
+
+
+# ---------- e2e teacher ----------
+
+def test_teacher_training_reduces_loss(tiny_data, tmp_path):
+    exp = small_exp(str(tmp_path), epochs=5, method="ae")
+    trainer = Trainer(exp, verbose=False)
+    history = trainer.train_seed(tiny_data, 42)
+    assert len(history["train_loss"]) == 5
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert all(np.isfinite(history["val_recon"]))
+    # full schema written
+    assert len(history["val_cross_recon"]) == 5
+    assert len(history["val_vel"]) == 5
+    assert len(history["perplexity"]) == 5
+    # artifacts on disk with reference-style names
+    assert os.path.exists(os.path.join(exp.log_dir, "log_resnet_no_down_ae_seed_42.json"))
+    assert os.path.exists(os.path.join(
+        exp.checkpoint_dir, "Exp_resnet_no_down_W10_ae_teacher_seed_42_last.ckpt"))
+    assert os.path.exists(os.path.join(
+        exp.checkpoint_dir, "Exp_resnet_no_down_W10_ae_teacher_seed_42_final.ckpt"))
+
+
+def test_teacher_training_ema_quantizer_state_changes(tiny_data, tmp_path):
+    exp = small_exp(str(tmp_path), epochs=2, method="ema")
+    trainer = Trainer(exp, verbose=False)
+    trainer.train_seed(tiny_data, 7)
+    ck = load_checkpoint(os.path.join(
+        exp.checkpoint_dir, "Exp_resnet_no_down_W10_ema_teacher_seed_7_last.ckpt"))
+    cs = ck["variables"]["qstats"]["quantizer"]["ema_cluster_size"]
+    assert np.asarray(cs).sum() > 0  # EMA stats accumulated
+
+
+# ---------- resume ----------
+
+def test_resume_continues_from_checkpoint(tiny_data, tmp_path):
+    exp = small_exp(str(tmp_path), epochs=2)
+    Trainer(exp, verbose=False).train_seed(tiny_data, 42)
+    exp2 = exp.__class__(**{**exp.__dict__})
+    import dataclasses
+    exp2 = dataclasses.replace(exp, train=dataclasses.replace(exp.train, epochs=4, resume=True))
+    history = Trainer(exp2, verbose=False).train_seed(tiny_data, 42)
+    assert len(history["train_loss"]) == 4  # 2 resumed + 2 new
+
+
+# ---------- teacher -> student ----------
+
+def test_student_stage_trains_only_human_encoder(tiny_data, tmp_path):
+    import dataclasses
+    teacher = small_exp(str(tmp_path), epochs=2, method="ae")
+    Trainer(teacher, verbose=False).train_seed(tiny_data, 42)
+    best = os.path.join(teacher.checkpoint_dir, "Exp_resnet_no_down_W10_ae_teacher_seed_42_best.ckpt")
+    assert os.path.exists(best)
+
+    student = small_exp(str(tmp_path), mode="student", epochs=2, method="ae",
+                        teacher_ckpt=best)
+    trainer = Trainer(student, verbose=False)
+    history = trainer.train_seed(tiny_data, 42)
+    assert len(history["val_align"]) == 2
+
+    # frozen parts must be bit-identical to the teacher checkpoint
+    t_vars = load_checkpoint(best)["variables"]
+    s_vars = load_checkpoint(os.path.join(
+        student.checkpoint_dir, "Exp_resnet_no_down_W10_ae_student_seed_42_last.ckpt"))["variables"]
+    t_dec = jax.tree_util.tree_leaves(t_vars["params"]["robot_decoder"])
+    s_dec = jax.tree_util.tree_leaves(s_vars["params"]["robot_decoder"])
+    for a, b in zip(t_dec, s_dec):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t_enc = jax.tree_util.tree_leaves(t_vars["params"]["robot_encoder"])
+    s_enc = jax.tree_util.tree_leaves(s_vars["params"]["robot_encoder"])
+    for a, b in zip(t_enc, s_enc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # human encoder must have moved
+    t_h = np.concatenate([np.asarray(x).ravel() for x in
+                          jax.tree_util.tree_leaves(t_vars["params"]["human_encoder"])])
+    s_h = np.concatenate([np.asarray(x).ravel() for x in
+                          jax.tree_util.tree_leaves(s_vars["params"]["human_encoder"])])
+    assert not np.allclose(t_h, s_h)
+
+
+def test_trainable_mask_paths():
+    from bridgerl_tpu.config import ModelConfig
+    cfg = ModelConfig(arch="resnet_no_down", method="ae", window_size=10,
+                      hidden_dim=16, num_res_layers=1)
+    _, vs = init_model(cfg, KEY)
+    mask = trainable_mask(vs["params"], "student")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, v in flat:
+        inside_human = any(getattr(k, "key", None) == "human_encoder" for k in path)
+        assert v == inside_human
+
+
+# ---------- early stopping ----------
+
+def test_early_stopping_triggers(tiny_data, tmp_path):
+    # lr=0 -> no improvement after epoch 0 -> stop at patience
+    exp = small_exp(str(tmp_path), epochs=50, patience=2, learning_rate=0.0)
+    history = Trainer(exp, verbose=False).train_seed(tiny_data, 42)
+    assert len(history["train_loss"]) <= 5
