@@ -76,6 +76,9 @@ def bench_replay(frames: int = 20000) -> float:
 
 
 def main():
+    from bridgerl_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     rate, loss = bench_training()
     try:
         replay_sps = bench_replay()

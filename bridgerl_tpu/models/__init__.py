@@ -4,6 +4,7 @@ from .layers import (
     ConvEncoder,
     NoDownsampleDecoder,
     NoDownsampleEncoder,
+    PositionalEncoding,
     ResBlock1D,
     TransformerBlock,
     TransformerMotionDecoder,

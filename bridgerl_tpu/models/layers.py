@@ -40,6 +40,19 @@ def sinusoidal_pe(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
     return pe
 
 
+class PositionalEncoding(nn.Module):
+    """Sinusoidal PE added to (B, T, C) sequences (vqvae.py:280-291; the
+    reference defines this for conv encoders but no current arch uses it —
+    kept for inventory parity and available to custom encoders)."""
+
+    d_model: int
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return x + sinusoidal_pe(x.shape[1], self.d_model, x.dtype)
+
+
 class ResBlock1D(nn.Module):
     """Conv(3)+BN+LeakyReLU x2 residual block, stride 1 (vqvae.py:265-278)."""
 

@@ -1,1 +1,3 @@
+from .compilation_cache import enable_compilation_cache
 from .logging import TermColor, Throughput, epoch_log, fmt_eta
+from .profiling import StepTimer, trace

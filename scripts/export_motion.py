@@ -24,6 +24,8 @@ def main():
     p.add_argument("--max_len", type=int, default=-1)
     args = p.parse_args()
 
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from bridgerl_tpu.export import export_motions
 
     export_motions(args.ckpt, data_dir=args.data_dir, output_dir=args.output_dir,

@@ -28,6 +28,8 @@ def main():
     p.add_argument("--loops", type=int, default=1, help="Replay passes to time")
     args = p.parse_args()
 
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import numpy as np
     from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, render_motion

@@ -24,6 +24,8 @@ def main():
     p.add_argument("--view", type=str, default="front")
     args = p.parse_args()
 
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, render_motion
 

@@ -39,6 +39,8 @@ def main():
                    dest="data_parallel", help="shard batch over all devices")
     args = p.parse_args()
 
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     import jax
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.data import PairedDataset, load_artifacts
