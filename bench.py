@@ -24,7 +24,7 @@ BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
 
 
 def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
-                   n_windows=65536, epochs_timed=8):
+                   n_windows=65536, epochs_timed=8, compute_dtype="bfloat16"):
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.models import init_model
     from bridgerl_tpu.train import (
@@ -34,7 +34,8 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
         split_variables,
     )
 
-    exp = make_experiment(arch, method, window=window, mode="teacher", batch_size=batch)
+    exp = make_experiment(arch, method, window=window, mode="teacher",
+                          batch_size=batch, compute_dtype=compute_dtype)
     model, variables = init_model(exp.model, jax.random.key(0))
     params, rest = split_variables(variables)
     tx = make_optimizer(exp, params)
@@ -79,7 +80,11 @@ def main():
     from bridgerl_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    rate, loss = bench_training()
+    rate, loss = bench_training(compute_dtype="bfloat16")
+    if "--f32" in sys.argv:
+        rate_f32, loss_f32 = bench_training(compute_dtype="float32")
+    else:
+        rate_f32, loss_f32 = -1.0, float("nan")
     try:
         replay_sps = bench_replay()
     except Exception as e:  # keep the primary metric robust
@@ -92,7 +97,8 @@ def main():
         "vs_baseline": round(rate / BASELINE_WINDOWS_PER_SEC_PER_CHIP, 3),
     }
     print(json.dumps(result))
-    print(f"[bench] devices={jax.devices()} final_loss={loss:.4f} "
+    print(f"[bench] devices={jax.devices()} bf16_loss={loss:.4f} "
+          f"f32_rate={rate_f32:,.0f} f32_loss={loss_f32:.4f} "
           f"g1_replay_steps_per_sec={replay_sps:,.0f}", file=sys.stderr)
 
 

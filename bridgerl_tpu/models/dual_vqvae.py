@@ -37,30 +37,36 @@ from .layers import (
 )
 
 
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def _make_encoder(cfg: ModelConfig, name: str) -> nn.Module:
+    dt = _dtype(cfg)
     if cfg.arch == "transformer":
         return TransformerMotionEncoder(
             hidden_dim=cfg.hidden_dim, d_model=cfg.d_model, n_heads=cfg.n_heads,
-            num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, name=name)
+            num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dtype=dt, name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleEncoder(hidden_dim=cfg.hidden_dim,
-                                   num_res_layers=cfg.num_res_layers, name=name)
+                                   num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
     return ConvEncoder(hidden_dim=cfg.hidden_dim, arch=cfg.arch,
-                       num_res_layers=cfg.num_res_layers, name=name)
+                       num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
 
 
 def _make_decoder(cfg: ModelConfig, name: str) -> nn.Module:
+    dt = _dtype(cfg)
     if cfg.arch == "transformer":
         return TransformerMotionDecoder(
             output_dim=cfg.robot_input_dim, hidden_dim=cfg.hidden_dim,
             seq_len=cfg.window_size, d_model=cfg.d_model, n_heads=cfg.n_heads,
-            num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, name=name)
+            num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dtype=dt, name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleDecoder(output_dim=cfg.robot_input_dim,
                                    hidden_dim=cfg.hidden_dim,
-                                   num_res_layers=cfg.num_res_layers, name=name)
+                                   num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
     return ConvDecoder(output_dim=cfg.robot_input_dim, hidden_dim=cfg.hidden_dim,
-                       arch=cfg.arch, num_res_layers=cfg.num_res_layers, name=name)
+                       arch=cfg.arch, num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
 
 
 class DualMotionVQVAE(nn.Module):

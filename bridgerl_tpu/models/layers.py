@@ -19,7 +19,7 @@ kaiming-uniform; parity with the reference is statistical, not bitwise
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -57,14 +57,15 @@ class ResBlock1D(nn.Module):
     """Conv(3)+BN+LeakyReLU x2 residual block, stride 1 (vqvae.py:265-278)."""
 
     channels: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),))(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(x)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(h)
         h = leaky_relu(h)
-        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(h)
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(h)
         h = leaky_relu(h)
         return x + h
 
@@ -79,18 +80,19 @@ class ConvEncoder(nn.Module):
     hidden_dim: int
     arch: str = "simple"
     num_res_layers: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),))(x)
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype)(x)
         h = leaky_relu(h)
         if self.arch == "resnet":
             for i in range(self.num_res_layers):
-                h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
-        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),))(h)
+                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype)(h)
         h = leaky_relu(h)
         if self.arch == "resnet":
-            h = ResBlock1D(self.hidden_dim, name="res_final")(h, train=train)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name="res_final")(h, train=train)
         return h
 
 
@@ -106,23 +108,24 @@ class ConvDecoder(nn.Module):
     hidden_dim: int
     arch: str = "simple"
     num_res_layers: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.arch == "resnet":
             h = x
             for i in range(self.num_res_layers):
-                h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
+                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
             h = jnp.repeat(h, 2, axis=1)  # nearest upsample x2
-            h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
+            h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
             h = leaky_relu(h)
-            h = ResBlock1D(self.hidden_dim, name="res_mid")(h, train=train)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name="res_mid")(h, train=train)
             h = jnp.repeat(h, 2, axis=1)
-            h = nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(h)
+            h = nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
             return h
-        h = nn.ConvTranspose(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),))(x)
+        h = nn.ConvTranspose(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype)(x)
         h = leaky_relu(h)
-        h = nn.ConvTranspose(self.output_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),))(h)
+        h = nn.ConvTranspose(self.output_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype)(h)
         return h
 
 
@@ -131,14 +134,15 @@ class NoDownsampleEncoder(nn.Module):
 
     hidden_dim: int
     num_res_layers: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),))(x)
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(x)
         h = leaky_relu(h)
         for i in range(self.num_res_layers):
-            h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
-        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), name="final_conv")(h)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, name="final_conv")(h)
         return leaky_relu(h)
 
 
@@ -148,13 +152,14 @@ class NoDownsampleDecoder(nn.Module):
     output_dim: int
     hidden_dim: int
     num_res_layers: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = x
         for i in range(self.num_res_layers):
-            h = ResBlock1D(self.hidden_dim, name=f"res_{i}")(h, train=train)
-        return nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), name="out_conv")(h)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
+        return nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, name="out_conv")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -165,6 +170,7 @@ class TransformerBlock(nn.Module):
     n_heads: int
     ff_dim: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -173,14 +179,15 @@ class TransformerBlock(nn.Module):
             qkv_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=not train,
+            dtype=self.dtype,
             name="self_attn",
         )(x, x)
-        x = nn.LayerNorm(name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
-        h = nn.Dense(self.ff_dim, name="ff1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, name="ff2")(h)
-        x = nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(h)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
         return x
 
 
@@ -195,16 +202,17 @@ class TransformerMotionEncoder(nn.Module):
     num_layers: int = 4
     ff_dim: int = 512
     max_len: int = 5000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, T, C_in)
-        h = nn.Dense(self.d_model, name="input_proj")(x)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
         h = h + sinusoidal_pe(x.shape[1], self.d_model, h.dtype)
         for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, name=f"layer_{i}")(h, train=train)
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
         h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
-        return nn.Dense(self.hidden_dim, name="output_proj")(h)  # (B, 1, hidden)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="output_proj")(h)  # (B, 1, hidden)
 
 
 class TransformerMotionDecoder(nn.Module):
@@ -218,13 +226,14 @@ class TransformerMotionDecoder(nn.Module):
     n_heads: int = 4
     num_layers: int = 4
     ff_dim: int = 512
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, 1, hidden)
-        h = nn.Dense(self.d_model, name="input_proj")(x)  # (B, 1, d_model)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)  # (B, 1, d_model)
         h = jnp.broadcast_to(h, (h.shape[0], self.seq_len, self.d_model))
         h = h + sinusoidal_pe(self.seq_len, self.d_model, h.dtype)
         for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, name=f"layer_{i}")(h, train=train)
-        return nn.Dense(self.output_dim, name="output_proj")(h)  # (B, T, out)
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="output_proj")(h)  # (B, T, out)

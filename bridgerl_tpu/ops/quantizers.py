@@ -104,6 +104,8 @@ class VectorQuantizer(nn.Module):
         else:
             embedding = self.param("embedding", uniform_init, (K, D))
 
+        in_dtype = z.dtype
+        z = z.astype(jnp.float32)  # codebook math in f32 under bf16 compute
         flat = z.reshape(-1, D)
         indices, counts, dw = nearest_codes(jax.lax.stop_gradient(flat), jax.lax.stop_gradient(embedding))
         z_q = quantize_lookup(indices, embedding).reshape(z.shape)
@@ -130,7 +132,7 @@ class VectorQuantizer(nn.Module):
             q_latent = jnp.mean((z_q - jax.lax.stop_gradient(z)) ** 2)
             loss = q_latent + self.commitment_cost * e_latent
 
-        out = ste(z, z_q)
+        out = ste(z, z_q).astype(in_dtype)
         metrics = {
             "perplexity": perplexity_from_counts(counts),
             "dcr": dcr_from_counts(counts),
@@ -194,9 +196,10 @@ class FSQ(nn.Module):
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
         fsq_dim = len(self.levels)
-        zp = nn.Dense(fsq_dim, name="project_in")(z)  # (B, T, fsq_dim)
+        in_dtype = z.dtype
+        zp = nn.Dense(fsq_dim, name="project_in")(z.astype(jnp.float32))  # (B, T, fsq_dim)
         z_hard = zp + jax.lax.stop_gradient(jnp.round(zp) - zp)
-        out = nn.Dense(self.input_dim, name="project_out")(z_hard)
+        out = nn.Dense(self.input_dim, name="project_out")(z_hard).astype(in_dtype)
 
         basis = jnp.asarray(
             [math.prod(self.levels[:i]) for i in range(fsq_dim)], dtype=jnp.float32
@@ -224,7 +227,8 @@ class LFQ(nn.Module):
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
-        z_e = nn.Dense(self.codebook_dim, name="project_in")(z)
+        in_dtype = z.dtype
+        z_e = nn.Dense(self.codebook_dim, name="project_in")(z.astype(jnp.float32))
         z_sign = jnp.where(z_e > 0, 1.0, -1.0).astype(z_e.dtype)
         z_q = ste(z_e, z_sign)
 
@@ -232,7 +236,7 @@ class LFQ(nn.Module):
         entropy = -(prob * jnp.log(prob + 1e-6) + (1 - prob) * jnp.log(1 - prob + 1e-6))
         loss = -jnp.mean(entropy) * self.entropy_loss_weight
 
-        out = nn.Dense(self.input_dim, name="project_out")(z_q)
+        out = nn.Dense(self.input_dim, name="project_out")(z_q).astype(in_dtype)
 
         bits = (z_q > 0).astype(jnp.int32)  # (B, T, C)
         basis = (2 ** jnp.arange(self.codebook_dim, dtype=jnp.int32))

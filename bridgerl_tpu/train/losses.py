@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 
 def mse(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean((a - b) ** 2)
+    # accumulate in f32 regardless of the model's compute dtype
+    return jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
 
 
 def time_diff(x: jax.Array, n: int = 1) -> jax.Array:

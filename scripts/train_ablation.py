@@ -62,7 +62,13 @@ def main():
 
     mesh = make_mesh() if args.data_parallel and jax.device_count() > 1 else None
     if mesh is not None:
-        print(f"!!! Data-parallel over {jax.device_count()} devices !!!")
+        # scale the global batch by device count, mirroring the reference's
+        # DataParallel behavior (train_ablation.py:325-328)
+        scaled = args.batch_size * jax.device_count()
+        print(f"!!! Data-parallel over {jax.device_count()} devices; "
+              f"scaling batch size to {scaled} !!!")
+        import dataclasses
+        exp = dataclasses.replace(exp, train=dataclasses.replace(exp.train, batch_size=scaled))
 
     if args.multiseed and len(args.seed) > 1:
         MultiSeedTrainer(exp, mesh=mesh).run(ds)
