@@ -51,16 +51,17 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
 
     train_epoch = make_train_epoch(model, tx, exp, mesh=None)
 
-    # warmup/compile (twice: the first post-compile dispatch can overlap
-    # runtime setup on tunneled platforms and pollute short timings)
+    # warmup/compile. NOTE: on tunneled TPU runtimes jax.block_until_ready
+    # does NOT synchronize (observed 30M "windows/s" artifacts); a host value
+    # fetch is the only reliable barrier, used for warmup and per-epoch timing.
     for _ in range(2):
         state, logs = train_epoch(state, robot, human, idx, keys)
-        jax.block_until_ready(logs["train_loss"])
+        float(logs["train_loss"])
 
     t0 = time.perf_counter()
     for _ in range(epochs_timed):
         state, logs = train_epoch(state, robot, human, idx, keys)
-    jax.block_until_ready(logs["train_loss"])
+        float(logs["train_loss"])  # hard sync
     dt = time.perf_counter() - t0
 
     windows = epochs_timed * nb * batch

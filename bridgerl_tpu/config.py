@@ -37,6 +37,7 @@ class ModelConfig:
     n_heads: int = 4
     n_tf_layers: int = 4
     ff_dim: int = 512
+    dropout: float = 0.1   # torch TransformerEncoderLayer default
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     lfq_dim: int = 10

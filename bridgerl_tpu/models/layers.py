@@ -202,6 +202,7 @@ class TransformerMotionEncoder(nn.Module):
     num_layers: int = 4
     ff_dim: int = 512
     max_len: int = 5000
+    dropout: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -210,7 +211,8 @@ class TransformerMotionEncoder(nn.Module):
         h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
         h = h + sinusoidal_pe(x.shape[1], self.d_model, h.dtype)
         for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
         h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="output_proj")(h)  # (B, 1, hidden)
 
@@ -226,6 +228,7 @@ class TransformerMotionDecoder(nn.Module):
     n_heads: int = 4
     num_layers: int = 4
     ff_dim: int = 512
+    dropout: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -235,5 +238,6 @@ class TransformerMotionDecoder(nn.Module):
         h = jnp.broadcast_to(h, (h.shape[0], self.seq_len, self.d_model))
         h = h + sinusoidal_pe(self.seq_len, self.d_model, h.dtype)
         for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
+            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="output_proj")(h)  # (B, T, out)

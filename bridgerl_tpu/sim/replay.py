@@ -73,7 +73,7 @@ class G1ReplayScene:
     def benchmark_steps_per_sec(self, frames: int = 2000, warmup: int = 2) -> float:
         q = jnp.zeros((frames, self.chain.num_actuated), jnp.float32)
         for _ in range(warmup):
-            jax.block_until_ready(self._rollout(q))
+            float(jnp.sum(self._rollout(q)))  # host fetch = reliable barrier
         t0 = time.perf_counter()
-        jax.block_until_ready(self._rollout(q))
+        float(jnp.sum(self._rollout(q)))
         return frames / (time.perf_counter() - t0)
