@@ -197,10 +197,13 @@ class Trainer:
         start_epoch = 0
         best_val = float("inf")
         history = empty_history()
+        resumed_opt_state = None
         last_path = self._ckpt_path(seed, "last")
         if tcfg.resume and os.path.exists(last_path):
             ck = load_checkpoint(last_path)
             variables = restore_variables(variables, ck["variables"])
+            if ck["opt_state"]:
+                resumed_opt_state = ck["opt_state"]
             if os.path.exists(self._log_path(seed)):
                 try:
                     with open(self._log_path(seed)) as f:
@@ -224,7 +227,17 @@ class Trainer:
 
         params, rest = split_variables(variables)
         tx = make_optimizer(exp, params)
-        state = TrainState(params, rest, tx.init(params))
+        opt_state = tx.init(params)
+        if resumed_opt_state is not None:
+            # restore AdamW moments on resume (the reference attempted this but
+            # its optimizer_state variable was never defined — a no-op bug,
+            # train_ablation.py:184-187; we restore for real, best-effort)
+            try:
+                from .checkpoint import restore_opt_state
+                opt_state = restore_opt_state(opt_state, resumed_opt_state)
+            except Exception:
+                pass
+        state = TrainState(params, rest, opt_state)
 
         train_ds, val_ds = train_val_split(ds, tcfg.val_fraction, seed)
         n_train = len(train_ds)

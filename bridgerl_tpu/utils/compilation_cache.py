@@ -16,6 +16,7 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/bridgerl_tpu_jax")
 def enable_compilation_cache(path: str = _DEFAULT_DIR) -> bool:
     import jax
 
+    apply_platform_override()
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
@@ -24,3 +25,24 @@ def enable_compilation_cache(path: str = _DEFAULT_DIR) -> bool:
         return True
     except Exception:
         return False
+
+
+def apply_platform_override() -> None:
+    """Honor BRIDGERL_PLATFORM (e.g. 'cpu') via jax.config.
+
+    Needed because the hosting environment's site hook pre-sets jax_platforms,
+    making the standard JAX_PLATFORMS env var a no-op (see CLAUDE.md).
+    Must run before the first device use.
+    """
+    platform = os.environ.get("BRIDGERL_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platform)
+        n = os.environ.get("BRIDGERL_CPU_DEVICES")
+        if n and platform == "cpu":
+            jax.config.update("jax_num_cpu_devices", int(n))
+    except Exception:
+        pass  # backend already initialized

@@ -45,6 +45,8 @@ def main():
                    help="Optional wandb registry name to upload the artifact to")
     args = p.parse_args()
 
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # also applies BRIDGERL_PLATFORM override
     import numpy as np
     import jax.numpy as jnp
     from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, load_motion

@@ -37,6 +37,8 @@ def main():
                    help="vmap all seeds into one XLA program")
     p.add_argument("--data_parallel", "--force_multi_gpu", action="store_true",
                    dest="data_parallel", help="shard batch over all devices")
+    p.add_argument("--profile", type=str, default=None,
+                   help="jax.profiler trace directory (wraps the whole run)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -70,10 +72,13 @@ def main():
         import dataclasses
         exp = dataclasses.replace(exp, train=dataclasses.replace(exp.train, batch_size=scaled))
 
-    if args.multiseed and len(args.seed) > 1:
-        MultiSeedTrainer(exp, mesh=mesh).run(ds)
-    else:
-        Trainer(exp, mesh=mesh).run(ds)
+    from bridgerl_tpu.utils import trace
+
+    with trace(args.profile):
+        if args.multiseed and len(args.seed) > 1:
+            MultiSeedTrainer(exp, mesh=mesh).run(ds)
+        else:
+            Trainer(exp, mesh=mesh).run(ds)
     for seed in args.seed:
         print(f"Success: {exp.name} | Mode: {args.mode} | Seed: {seed}")
 

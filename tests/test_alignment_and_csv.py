@@ -74,7 +74,7 @@ def test_csv_to_npz_cli(tmp_path, rng):
     np.savetxt(csv_path, csv, delimiter=",")
     out_path = str(tmp_path / "motion.npz")
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, BRIDGERL_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "csv_to_npz.py"),
          "--input_file", csv_path, "--input_fps", "20", "--output_fps", "40",
