@@ -97,31 +97,46 @@ def compute_6d_rotation(data: np.ndarray) -> np.ndarray:
     the feature dim is interpreted as J axis-angle triplets if divisible by 3,
     else J xyzw quaternions if divisible by 4.
 
-    Host-side preprocessing: pinned to the CPU backend so the data pipeline
-    never pays accelerator compile/dispatch latency (the same jnp kernels are
-    reused on device elsewhere).
+    Host-side preprocessing runs in PURE NUMPY: sequences have varying lengths,
+    so a jnp implementation would retrace/recompile per shape (measured minutes
+    over a few hundred files). The jnp kernels above serve the on-device paths.
     """
-    data = np.asarray(data)
+    data = np.asarray(data, dtype=np.float64)
     T = data.shape[0]
     total = data.size // T
     flat = data.reshape(T, total)
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    import contextlib
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
-        if total % 3 == 0:
-            J = total // 3
-            R = axis_angle_to_matrix(jnp.asarray(flat.reshape(T * J, 3)))
-        elif total % 4 == 0:
-            J = total // 4
-            R = quat_to_matrix(jnp.asarray(flat.reshape(T * J, 4)))
-        else:
-            raise ValueError(f"Unsupported per-frame feature dim: {total}")
-        d6 = matrix_to_6d(R)
-    return np.asarray(d6).reshape(T, J * 6)
+    if total % 3 == 0:
+        J = total // 3
+        v = flat.reshape(T * J, 3)
+        angle = np.linalg.norm(v, axis=-1, keepdims=True)
+        small = angle < 1e-8
+        axis = v / np.where(small, 1.0, angle)
+        x, y, z = axis[:, 0], axis[:, 1], axis[:, 2]
+        zero = np.zeros_like(x)
+        K = np.stack([
+            np.stack([zero, -z, y], -1),
+            np.stack([z, zero, -x], -1),
+            np.stack([-y, x, zero], -1),
+        ], axis=-2)
+        a = angle[..., None]
+        eye = np.broadcast_to(np.eye(3), K.shape)
+        R = eye + np.sin(a) * K + (1.0 - np.cos(a)) * (K @ K)
+        R = np.where(small[..., None], eye + K * a, R)
+    elif total % 4 == 0:
+        J = total // 4
+        q = flat.reshape(T * J, 4)
+        n = np.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / np.where(n < 1e-12, 1.0, n)
+        x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]  # xyzw (SciPy layout)
+        R = np.stack([
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)], -1),
+            np.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)], -1),
+            np.stack([2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)], -1),
+        ], axis=-2)
+    else:
+        raise ValueError(f"Unsupported per-frame feature dim: {total}")
+    d6 = R[:, :, :2].reshape(T * J, 6)  # first two columns (process_data.py:27)
+    return d6.reshape(T, J * 6).astype(np.float32)
 
 
 # --- quaternion utilities used by the sim layer (slerp resampling) ---
