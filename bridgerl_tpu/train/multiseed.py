@@ -94,8 +94,8 @@ class MultiSeedTrainer:
         # Inner fns carry NO sharding constraints: under multi-seed the natural
         # mesh layout is "shard the SEED axis over devices" (each device owns
         # whole seeds; zero cross-device collectives in the hot loop).
-        epoch_fn = make_train_epoch(model, tx, exp, None)
-        eval_fn = make_eval_epoch(model, None)
+        epoch_fn = make_train_epoch(model, tx, exp, None, jit=False)
+        eval_fn = make_eval_epoch(model, None, jit=False)
 
         if self.mesh is not None and S % self.mesh.devices.size == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P

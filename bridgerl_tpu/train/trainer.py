@@ -79,8 +79,13 @@ def make_train_epoch(
     tx: optax.GradientTransformation,
     exp: ExperimentConfig,
     mesh=None,
+    jit: bool = True,
 ) -> Callable:
-    """Build the jitted scanned-epoch function for the given mode."""
+    """Build the (optionally jitted) scanned-epoch function for the given mode.
+
+    Pass jit=False when the caller wraps the epoch in its own transform
+    (e.g. the multiseed vmap) — nesting jit inside vmap inside jit inflates
+    compile time on remote-compile platforms."""
     tcfg = exp.train
     mode = tcfg.mode
 
@@ -125,10 +130,12 @@ def make_train_epoch(
         state, logs = jax.lax.scan(body, state, (idx_mat, keys))
         return state, jax.tree_util.tree_map(jnp.mean, logs)
 
+    if not jit:
+        return train_epoch
     return jax.jit(train_epoch, donate_argnums=(0,))
 
 
-def make_eval_epoch(model: DualMotionVQVAE, mesh=None) -> Callable:
+def make_eval_epoch(model: DualMotionVQVAE, mesh=None, jit: bool = True) -> Callable:
     """Jitted validation pass: both branches in eval mode, full metric schema.
 
     The reference's val loop runs model(x_robot, x_human) regardless of mode
@@ -146,6 +153,8 @@ def make_eval_epoch(model: DualMotionVQVAE, mesh=None) -> Callable:
         _, ms = jax.lax.scan(body, None, idx_mat)
         return jax.tree_util.tree_map(jnp.mean, ms)
 
+    if not jit:
+        return eval_epoch
     return jax.jit(eval_epoch)
 
 
