@@ -76,6 +76,7 @@ class TrainConfig:
     temperature: float = 0.07    # InfoNCE (kept for completeness; unused by default)
     resume: bool = False
     teacher_ckpt: Optional[str] = None
+    save_every: int = 1          # epochs between `_last` checkpoint writes (ref: 1)
     # TPU-specific
     data_axis: str = "data"      # mesh axis name for batch sharding
     donate: bool = True

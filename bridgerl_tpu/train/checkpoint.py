@@ -29,7 +29,9 @@ from ..config import ExperimentConfig
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # single batched device->host transfer: per-leaf np.asarray costs one
+    # round-trip per leaf, which dominates on tunneled TPU runtimes
+    return jax.device_get(tree)
 
 
 def save_checkpoint(

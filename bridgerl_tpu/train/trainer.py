@@ -289,9 +289,11 @@ class Trainer:
                 epoch_log(epoch, logs["train_loss"], cur,
                           "Recon" if mode == "teacher" else "Align", eta)
 
-            # save last + history every epoch (train_ablation.py:276-284)
-            save_checkpoint(last_path, epoch=epoch, variables=state.variables(),
-                            opt_state=state.opt_state, best_loss=best_val, config=exp)
+            # save last + history (every epoch by default, train_ablation.py:276-284;
+            # save_every > 1 reduces device->host checkpoint traffic on tunneled TPUs)
+            if epoch % max(tcfg.save_every, 1) == 0 or epoch == tcfg.epochs - 1:
+                save_checkpoint(last_path, epoch=epoch, variables=state.variables(),
+                                opt_state=state.opt_state, best_loss=best_val, config=exp)
             with open(self._log_path(seed), "w") as f:
                 json.dump(history, f, indent=4)
 
