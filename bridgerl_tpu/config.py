@@ -73,6 +73,8 @@ class TrainConfig:
     lambda_vel: float = 0.5
     lambda_cross: float = 5.0
     lambda_align: float = 100.0
+    lambda_fk: float = 0.0       # world-space FK loss weight (BASELINE.json north star;
+                                 # 0 = off, matching the reference's joint-space-only loss)
     temperature: float = 0.07    # InfoNCE (kept for completeness; unused by default)
     resume: bool = False
     teacher_ckpt: Optional[str] = None

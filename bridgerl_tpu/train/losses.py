@@ -73,6 +73,20 @@ def student_loss(
     return {"loss": lambda_align * l_align, "align_loss": l_align}
 
 
+def fk_loss(recon: jax.Array, real: jax.Array, fk_fn) -> jax.Array:
+    """World-space forward-kinematics loss: MSE between FK'd body positions of
+    reconstructed and real joint windows.
+
+    `fk_fn` maps (B, W, 29) joint positions -> (B, W, L, 3) world link
+    positions (sim.kinematics.make_batched_fk). Training data is RAW joint
+    radians (the reference trains unnormalized, train_ablation.py:92-104), so
+    FK applies directly and the loss is differentiable end-to-end. This is the
+    'FK alignment loss via vmapped G1 kinematics' of the BASELINE.json north
+    star — the reference only ever intended it (pinocchio stub).
+    """
+    return mse(fk_fn(recon.astype(jnp.float32)), fk_fn(real.astype(jnp.float32)))
+
+
 def info_nce_loss(z_h: jax.Array, z_r: jax.Array, temperature: float = 0.07) -> jax.Array:
     """Symmetric contrastive loss (train_ablation.py:71-78; unused by default —
     the reference abandoned it for direct MSE, README.md:322)."""

@@ -89,6 +89,14 @@ def make_train_epoch(
     tcfg = exp.train
     mode = tcfg.mode
 
+    fk_fn = None
+    if tcfg.lambda_fk > 0.0 and exp.model.robot_input_dim == 29:
+        from ..sim.kinematics import make_fk
+        from ..sim.urdf import load_g1_chain
+
+        _fk_single = make_fk(load_g1_chain())
+        fk_fn = jax.vmap(jax.vmap(lambda q: _fk_single(q)[0]))  # (B,W,29)->(B,W,L,3)
+
     def loss_fn(params, rest, x_r, x_h, key):
         variables = {"params": params, **rest}
         mutable = list(rest.keys())
@@ -105,6 +113,11 @@ def make_train_epoch(
             parts = teacher_loss(
                 out["robot"]["recon"], x_r, out["robot"]["loss_vq"],
                 tcfg.lambda_recon, tcfg.lambda_vq, tcfg.lambda_vel)
+            if fk_fn is not None:
+                from .losses import fk_loss
+
+                l_fk = fk_loss(out["robot"]["recon"], x_r, fk_fn)
+                parts["loss"] = parts["loss"] + tcfg.lambda_fk * l_fk
             logs = {
                 "train_loss": parts["loss"],
                 "train_recon_loss": parts["recon_loss"],

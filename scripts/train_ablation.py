@@ -37,6 +37,8 @@ def main():
                    help="vmap all seeds into one XLA program")
     p.add_argument("--data_parallel", "--force_multi_gpu", action="store_true",
                    dest="data_parallel", help="shard batch over all devices")
+    p.add_argument("--lambda_fk", type=float, default=0.0,
+                   help="World-space FK loss weight (teacher stage)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace directory (wraps the whole run)")
     args = p.parse_args()
@@ -58,7 +60,7 @@ def main():
         args.arch, args.method, window=args.window, mode=args.mode,
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
-        learning_rate=args.lr, hidden_dim=args.hidden_dim,
+        learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
     )
 
