@@ -41,7 +41,14 @@ def main():
                    help="World-space FK loss weight (teacher stage)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace directory (wraps the whole run)")
+    p.add_argument("--prng", type=str, default="threefry2x32",
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   help="PRNG impl; rbg is ~25%% faster on TPU (dropout masks)")
     args = p.parse_args()
+
+    if args.prng != "threefry2x32":
+        import jax as _jax
+        _jax.config.update("jax_default_prng_impl", args.prng)
 
     from bridgerl_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
