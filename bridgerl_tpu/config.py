@@ -38,6 +38,10 @@ class ModelConfig:
     n_tf_layers: int = 4
     ff_dim: int = 512
     dropout: float = 0.1   # torch TransformerEncoderLayer default
+    # pack P windows into one attention call with a block-diagonal mask:
+    # T=10 windows give 10x10 attention matmuls that pad to 128x128 MXU tiles;
+    # packing P=12 makes 120-token tiles at identical math. 1 = off.
+    attn_packing: int = 1
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     lfq_dim: int = 10

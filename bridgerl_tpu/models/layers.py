@@ -40,6 +40,17 @@ def sinusoidal_pe(max_len: int, d_model: int, dtype=jnp.float32) -> jax.Array:
     return pe
 
 
+def block_diagonal_mask(packing: int, seq_len: int) -> jax.Array:
+    """(1, 1, P*T, P*T) boolean mask allowing attention only within each of the
+    P packed windows. With this mask, running P windows as one (P*T)-token
+    attention is mathematically identical to P separate T-token attentions —
+    but the score matmuls become MXU-sized instead of T x T (T=10 pads to a
+    128x128 tile at ~1% utilization)."""
+    eye = jnp.eye(packing, dtype=jnp.float32)
+    m = jnp.kron(eye, jnp.ones((seq_len, seq_len), jnp.float32))
+    return (m > 0.5)[None, None]
+
+
 class PositionalEncoding(nn.Module):
     """Sinusoidal PE added to (B, T, C) sequences (vqvae.py:280-291; the
     reference defines this for conv encoders but no current arch uses it —
@@ -173,7 +184,7 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False, mask=None) -> jax.Array:
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             qkv_features=self.d_model,
@@ -181,7 +192,7 @@ class TransformerBlock(nn.Module):
             deterministic=not train,
             dtype=self.dtype,
             name="self_attn",
-        )(x, x)
+        )(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
         h = nn.relu(h)
@@ -204,15 +215,25 @@ class TransformerMotionEncoder(nn.Module):
     max_len: int = 5000
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_packing: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, T, C_in)
+        B, T = x.shape[0], x.shape[1]
         h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
-        h = h + sinusoidal_pe(x.shape[1], self.d_model, h.dtype)
+        h = h + sinusoidal_pe(T, self.d_model, h.dtype)
+        P = self.attn_packing if self.attn_packing > 1 and B % self.attn_packing == 0 else 1
+        mask = None
+        if P > 1:
+            h = h.reshape(B // P, P * T, self.d_model)
+            mask = block_diagonal_mask(P, T)
         for i in range(self.num_layers):
             h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
-                                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
+                                 dropout=self.dropout, dtype=self.dtype,
+                                 name=f"layer_{i}")(h, train=train, mask=mask)
+        if P > 1:
+            h = h.reshape(B, T, self.d_model)
         h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
         return nn.Dense(self.hidden_dim, dtype=self.dtype, name="output_proj")(h)  # (B, 1, hidden)
 
@@ -230,14 +251,24 @@ class TransformerMotionDecoder(nn.Module):
     ff_dim: int = 512
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    attn_packing: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, 1, hidden)
+        B, T = x.shape[0], self.seq_len
         h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)  # (B, 1, d_model)
-        h = jnp.broadcast_to(h, (h.shape[0], self.seq_len, self.d_model))
-        h = h + sinusoidal_pe(self.seq_len, self.d_model, h.dtype)
+        h = jnp.broadcast_to(h, (B, T, self.d_model))
+        h = h + sinusoidal_pe(T, self.d_model, h.dtype)
+        P = self.attn_packing if self.attn_packing > 1 and B % self.attn_packing == 0 else 1
+        mask = None
+        if P > 1:
+            h = h.reshape(B // P, P * T, self.d_model)
+            mask = block_diagonal_mask(P, T)
         for i in range(self.num_layers):
             h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
-                                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(h, train=train)
+                                 dropout=self.dropout, dtype=self.dtype,
+                                 name=f"layer_{i}")(h, train=train, mask=mask)
+        if P > 1:
+            h = h.reshape(B, T, self.d_model)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="output_proj")(h)  # (B, T, out)

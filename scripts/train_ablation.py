@@ -41,6 +41,9 @@ def main():
                    help="World-space FK loss weight (teacher stage)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace directory (wraps the whole run)")
+    p.add_argument("--attn_packing", type=int, default=1,
+                   help="Pack P windows per attention call (block-diag mask; "
+                        "math-identical, big MXU win for small windows)")
     p.add_argument("--prng", type=str, default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="PRNG impl; rbg is ~25%% faster on TPU (dropout masks)")
@@ -68,6 +71,7 @@ def main():
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
+        attn_packing=args.attn_packing,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
     )
 

@@ -1,0 +1,65 @@
+"""Attention window-packing: exact equivalence with unpacked attention and
+safe fallback when the batch is not divisible by the pack factor."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridgerl_tpu.config import ModelConfig
+from bridgerl_tpu.models import init_model
+from bridgerl_tpu.models.layers import block_diagonal_mask
+
+
+def test_block_diagonal_mask_structure():
+    m = np.asarray(block_diagonal_mask(3, 4))[0, 0]
+    assert m.shape == (12, 12)
+    assert m[:4, :4].all() and m[4:8, 4:8].all() and m[8:, 8:].all()
+    assert not m[:4, 4:].any() and not m[8:, :8].any()
+
+
+@pytest.mark.parametrize("P", [4, 8])
+def test_packed_equals_unpacked(P):
+    x_r = jax.random.normal(jax.random.key(1), (16, 10, 29))
+    x_h = jax.random.normal(jax.random.key(2), (16, 10, 126))
+    outs = {}
+    for packing in (1, P):
+        cfg = ModelConfig(arch="transformer", method="ae", window_size=10,
+                          hidden_dim=16, d_model=32, ff_dim=64, n_tf_layers=2,
+                          attn_packing=packing, dropout=0.0)
+        model, vs = init_model(cfg, jax.random.key(0))
+        out = model.apply(vs, x_robot=x_r, x_human=x_h, train=False)
+        outs[packing] = (np.asarray(out["robot"]["recon"]),
+                         np.asarray(out["human"]["retargeted"]))
+    np.testing.assert_allclose(outs[1][0], outs[P][0], atol=1e-4)
+    np.testing.assert_allclose(outs[1][1], outs[P][1], atol=1e-4)
+
+
+def test_fallback_when_batch_not_divisible():
+    cfg = ModelConfig(arch="transformer", method="ae", window_size=10,
+                      hidden_dim=16, d_model=32, ff_dim=64, n_tf_layers=1,
+                      attn_packing=8, dropout=0.0)
+    model, vs = init_model(cfg, jax.random.key(0))
+    x_r = jax.random.normal(jax.random.key(1), (5, 10, 29))  # 5 % 8 != 0
+    out = model.apply(vs, x_robot=x_r, train=False)
+    assert out["robot"]["recon"].shape == (5, 10, 29)
+    assert np.isfinite(np.asarray(out["robot"]["recon"])).all()
+
+
+def test_packed_gradients_match():
+    x_r = jax.random.normal(jax.random.key(1), (8, 10, 29))
+    grads = {}
+    for packing in (1, 4):
+        cfg = ModelConfig(arch="transformer", method="ae", window_size=10,
+                          hidden_dim=8, d_model=16, ff_dim=32, n_tf_layers=1,
+                          attn_packing=packing, dropout=0.0)
+        model, vs = init_model(cfg, jax.random.key(0))
+
+        def loss(params):
+            out = model.apply({**vs, "params": params}, x_robot=x_r, train=False)
+            return jnp.mean((out["robot"]["recon"] - x_r) ** 2)
+
+        grads[packing] = jax.grad(loss)(vs["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(grads[1]),
+                    jax.tree_util.tree_leaves(grads[4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
