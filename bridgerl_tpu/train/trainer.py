@@ -189,6 +189,7 @@ class Trainer:
         self.exp = exp
         self.mesh = mesh
         self.verbose = verbose
+        self._fns = None  # (model-independent) jitted epoch fns, shared across seeds
         os.makedirs(exp.log_dir, exist_ok=True)
         os.makedirs(exp.checkpoint_dir, exist_ok=True)
 
@@ -265,8 +266,12 @@ class Trainer:
         n_train = len(train_ds)
         idx_val = jnp.asarray(val_index_matrix(len(val_ds), tcfg.batch_size))
 
-        train_epoch = make_train_epoch(model, tx, exp, self.mesh)
-        eval_epoch = make_eval_epoch(model, self.mesh)
+        # build the jitted epoch fns once per experiment: seeds share shapes,
+        # so rebuilding per seed would re-trace (cheap only via the disk cache)
+        if self._fns is None:
+            self._fns = (make_train_epoch(model, tx, exp, self.mesh),
+                         make_eval_epoch(model, self.mesh))
+        train_epoch, eval_epoch = self._fns
 
         patience = tcfg.patience
         patience_counter = 0

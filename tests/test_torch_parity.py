@@ -99,8 +99,10 @@ def test_ema_update_matches_torch(data):
     (_, _, _), mut = q.apply(vs, jnp.asarray(z_np), train=True, mutable=["qstats"])
     np.testing.assert_allclose(np.asarray(mut["qstats"]["ema_cluster_size"]),
                                cs1.numpy(), atol=1e-5)
+    # unused codes divide by the Laplace floor (~1e-5) amplifying w0 to ~1e4,
+    # so the comparison must be relative, not absolute
     np.testing.assert_allclose(np.asarray(mut["qstats"]["embedding"]),
-                               emb1.numpy(), atol=1e-4)
+                               emb1.numpy(), rtol=2e-3, atol=1e-3)
 
 
 def test_fsq_round_ste_matches_torch(data):
