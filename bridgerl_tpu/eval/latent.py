@@ -18,9 +18,8 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
-import jax
 import numpy as np
 
 import matplotlib

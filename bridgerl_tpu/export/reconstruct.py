@@ -15,7 +15,7 @@ when the tail is not already covered; overlapping predictions are averaged.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ kaiming-uniform; parity with the reference is statistical, not bitwise
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,6 @@ small matmuls); batch/time axes come from vmap, so (N, W, 29) windows map to
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

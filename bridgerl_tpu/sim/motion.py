@@ -11,8 +11,6 @@ a single vectorized device program.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ segments between parent/child link positions from the JAX FK.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,6 @@ training stack (BASELINE.json north star).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

@@ -17,7 +17,6 @@ state dict plus the ExperimentConfig JSON. No torch, no pickle.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Dict, Optional, Tuple
 

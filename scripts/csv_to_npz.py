@@ -48,8 +48,7 @@ def main():
     from bridgerl_tpu.utils import enable_compilation_cache
     enable_compilation_cache()  # also applies BRIDGERL_PLATFORM override
     import numpy as np
-    import jax.numpy as jnp
-    from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, load_motion
+    from bridgerl_tpu.sim import load_g1_chain, load_motion
     from bridgerl_tpu.sim.kinematics import make_fk
     import jax
 
