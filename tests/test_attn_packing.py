@@ -63,3 +63,26 @@ def test_packed_gradients_match():
     for a, b in zip(jax.tree_util.tree_leaves(grads[1]),
                     jax.tree_util.tree_leaves(grads[4])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_packing_composes_with_data_parallel_mesh(eight_devices):
+    """Packed attention must work under the batch-sharded mesh (the reshape
+    (B,T,C)->(B/P,P*T,C) keeps the leading dim divisible by the mesh)."""
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.parallel import make_mesh
+    from bridgerl_tpu.train import TrainState, make_optimizer, make_train_epoch, split_variables
+
+    exp = make_experiment("transformer", "hybrid", window=10, batch_size=64,
+                          hidden_dim=16, codebook_size=128, d_model=32, ff_dim=64,
+                          n_tf_layers=1, attn_packing=8)
+    model, vs = init_model(exp.model, jax.random.key(0))
+    params, rest = split_variables(vs)
+    tx = make_optimizer(exp, params)
+    state = TrainState(params, rest, tx.init(params))
+    robot = jax.random.normal(jax.random.key(1), (128, 10, 29))
+    human = jax.random.normal(jax.random.key(2), (128, 10, 126))
+    idx = jnp.arange(128).reshape(2, 64)
+    keys = jax.random.split(jax.random.key(3), 2)
+    f = make_train_epoch(model, tx, exp, mesh=make_mesh())
+    state, logs = f(state, robot, human, idx, keys)
+    assert np.isfinite(float(logs["train_loss"]))
