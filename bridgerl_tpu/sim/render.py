@@ -101,14 +101,14 @@ def render_motion(
         frames.append(render_frame(chain, np.asarray(trajectory[t]), None, view=view, lim=lim))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     if out_path.endswith(".gif"):
-        imageio.mimsave(out_path, frames, fps=fps)
+        imageio.mimsave(out_path, frames, duration=1000.0 / fps)  # ms per frame
     else:
         try:
             imageio.mimsave(out_path, frames, fps=fps)
         except Exception:
             # fall back to GIF when no ffmpeg backend is available
             out_path = os.path.splitext(out_path)[0] + ".gif"
-            imageio.mimsave(out_path, frames, fps=fps)
+            imageio.mimsave(out_path, frames, duration=1000.0 / fps)
     return out_path
 
 
