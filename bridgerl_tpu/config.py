@@ -42,6 +42,9 @@ class ModelConfig:
     # T=10 windows give 10x10 attention matmuls that pad to 128x128 MXU tiles;
     # packing P=12 makes 120-token tiles at identical math. 1 = off.
     attn_packing: int = 1
+    # compile the transformer layer once and lax.scan it over stacked params
+    # (compile-time saver on remote-compile runtimes; changes the param tree)
+    scan_layers: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     lfq_dim: int = 10

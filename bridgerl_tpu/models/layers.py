@@ -202,6 +202,61 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class TransformerStack(nn.Module):
+    """num_layers TransformerBlocks, optionally compiled ONCE via nn.scan.
+
+    With scan=True the layer body is traced once and driven by a lax.scan over
+    stacked per-layer parameters. MEASURED at this model's scale (4 layers,
+    d_model 256): runtime drops ~40% (67k vs 115k windows/s — scan blocks
+    XLA's cross-layer fusion/pipelining) and the compile saving doesn't pay
+    off; the flag stays opt-in for much deeper stacks. The parameter tree
+    differs (stacked leaves), so the flag is part of the model config.
+    """
+
+    num_layers: int
+    d_model: int
+    n_heads: int
+    ff_dim: int
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+    scan: bool = False
+
+    @nn.compact
+    def __call__(self, h: jax.Array, train: bool = False, mask=None) -> jax.Array:
+        if not self.scan:
+            for i in range(self.num_layers):
+                h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                     dropout=self.dropout, dtype=self.dtype,
+                                     name=f"layer_{i}")(h, train=train, mask=mask)
+            return h
+
+        class _Body(nn.Module):
+            d_model: int
+            n_heads: int
+            ff_dim: int
+            dropout: float
+            dtype: Any
+            train: bool
+
+            @nn.compact
+            def __call__(self, carry, mask):
+                out = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                       dropout=self.dropout, dtype=self.dtype,
+                                       name="block")(carry, train=self.train, mask=mask)
+                return out, None
+
+        ScanBody = nn.scan(
+            _Body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_layers,
+            in_axes=(nn.broadcast,),
+        )
+        h, _ = ScanBody(self.d_model, self.n_heads, self.ff_dim,
+                        self.dropout, self.dtype, train, name="layers")(h, mask)
+        return h
+
+
 class TransformerMotionEncoder(nn.Module):
     """Linear -> PE -> 4x transformer -> mean-pool to ONE token -> Linear
     (vqvae.py:429-463). Output (B, 1, hidden_dim): the whole window becomes a
@@ -216,6 +271,7 @@ class TransformerMotionEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     attn_packing: int = 1
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -228,10 +284,15 @@ class TransformerMotionEncoder(nn.Module):
         if P > 1:
             h = h.reshape(B // P, P * T, self.d_model)
             mask = block_diagonal_mask(P, T)
-        for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
-                                 dropout=self.dropout, dtype=self.dtype,
-                                 name=f"layer_{i}")(h, train=train, mask=mask)
+        if self.scan_layers:
+            h = TransformerStack(self.num_layers, self.d_model, self.n_heads,
+                                 self.ff_dim, dropout=self.dropout, dtype=self.dtype,
+                                 scan=True, name="stack")(h, train=train, mask=mask)
+        else:
+            for i in range(self.num_layers):
+                h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                     dropout=self.dropout, dtype=self.dtype,
+                                     name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
         h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
@@ -252,6 +313,7 @@ class TransformerMotionDecoder(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     attn_packing: int = 1
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -265,10 +327,15 @@ class TransformerMotionDecoder(nn.Module):
         if P > 1:
             h = h.reshape(B // P, P * T, self.d_model)
             mask = block_diagonal_mask(P, T)
-        for i in range(self.num_layers):
-            h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
-                                 dropout=self.dropout, dtype=self.dtype,
-                                 name=f"layer_{i}")(h, train=train, mask=mask)
+        if self.scan_layers:
+            h = TransformerStack(self.num_layers, self.d_model, self.n_heads,
+                                 self.ff_dim, dropout=self.dropout, dtype=self.dtype,
+                                 scan=True, name="stack")(h, train=train, mask=mask)
+        else:
+            for i in range(self.num_layers):
+                h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
+                                     dropout=self.dropout, dtype=self.dtype,
+                                     name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
         return nn.Dense(self.output_dim, dtype=self.dtype, name="output_proj")(h)  # (B, T, out)

@@ -86,3 +86,35 @@ def test_packing_composes_with_data_parallel_mesh(eight_devices):
     f = make_train_epoch(model, tx, exp, mesh=make_mesh())
     state, logs = f(state, robot, human, idx, keys)
     assert np.isfinite(float(logs["train_loss"]))
+
+
+def test_scan_layers_forward_and_training():
+    """scan_layers=True: same param count, finite training, loss decreases."""
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.train import TrainState, make_optimizer, make_train_epoch, split_variables
+
+    x_r = jax.random.normal(jax.random.key(1), (32, 10, 29))
+    x_h = jax.random.normal(jax.random.key(2), (32, 10, 126))
+    exp = make_experiment("transformer", "hybrid", window=10, batch_size=16,
+                          hidden_dim=16, codebook_size=128, d_model=32, ff_dim=64,
+                          n_tf_layers=3, scan_layers=True)
+    model, vs = init_model(exp.model, jax.random.key(0))
+    # param count equals the unscanned variant
+    import dataclasses
+    cfg0 = dataclasses.replace(exp.model, scan_layers=False)
+    _, vs0 = init_model(cfg0, jax.random.key(0))
+    count = lambda t: sum(x.size for x in jax.tree_util.tree_leaves(t["params"]))
+    assert count(vs) == count(vs0)
+
+    params, rest = split_variables(vs)
+    tx = make_optimizer(exp, params)
+    state = TrainState(params, rest, tx.init(params))
+    idx = jnp.arange(32).reshape(2, 16)
+    keys = jax.random.split(jax.random.key(3), 2)
+    f = make_train_epoch(model, tx, exp, None)
+    losses = []
+    for _ in range(4):
+        state, logs = f(state, x_r, x_h, idx, keys)
+        losses.append(float(logs["train_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
