@@ -54,6 +54,16 @@ class ModelConfig:
     num_res_layers: int = 4
     # compute dtype for matmul-heavy paths ("bfloat16" or "float32")
     compute_dtype: str = "float32"
+    # --- ref-exact switches (see docs/REF_EXACT.md) ---
+    # Warm-start EMA codebook stats (ema_w = embedding, cluster_size = 1).
+    # False restores the reference's normal-init ema_w + zero cluster sizes
+    # (vqvae.py:24-26), whose first EMA fold explodes unused codes to ~1e5
+    # norm — tolerable at the reference's small-batch regime, pathological at
+    # TPU batch sizes (round-1 flagship PPL=1 collapse).
+    ema_warm_start: bool = True
+    # torch-style kaiming-uniform kernel init (U(±sqrt(1/fan_in))) instead of
+    # flax lecun-normal, for A/B against reference training curves.
+    torch_init: bool = False
 
     def __post_init__(self):
         if self.arch not in ARCHS:
@@ -85,6 +95,10 @@ class TrainConfig:
     temperature: float = 0.07    # InfoNCE (kept for completeness; unused by default)
     resume: bool = False
     teacher_ckpt: Optional[str] = None
+    # Reference-exact velocity loss: diff along the CHANNEL axis like the
+    # reference's `recon[:,:,1:] - recon[:,:,:-1]` (train_ablation.py:214 — an
+    # apparent indexing slip); False = intended time-axis semantics.
+    ref_exact_vel: bool = False
     save_every: int = 1          # epochs between `_last` checkpoint writes (ref: 1)
     # TPU-specific
     data_axis: str = "data"      # mesh axis name for batch sharding
@@ -181,6 +195,18 @@ def make_experiment(
         name=name or f"Exp_{arch}_W{window}",
         model=model,
         train=train,
+    )
+
+
+def ref_exact(exp: ExperimentConfig) -> ExperimentConfig:
+    """Flip every documented deviation back to reference semantics for A/B:
+    channel-axis velocity diff (train_ablation.py:214), torch kaiming-uniform
+    kernel init, and the reference's cold EMA-state init (normal ema_w, zero
+    cluster sizes). Measured deltas are recorded in docs/REF_EXACT.md."""
+    return dataclasses.replace(
+        exp,
+        model=dataclasses.replace(exp.model, ema_warm_start=False, torch_init=True),
+        train=dataclasses.replace(exp.train, ref_exact_vel=True),
     )
 
 

@@ -43,32 +43,40 @@ def _dtype(cfg: ModelConfig):
 
 def _make_encoder(cfg: ModelConfig, name: str) -> nn.Module:
     dt = _dtype(cfg)
+    ti = cfg.torch_init
     if cfg.arch == "transformer":
         return TransformerMotionEncoder(
             hidden_dim=cfg.hidden_dim, d_model=cfg.d_model, n_heads=cfg.n_heads,
             num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dropout=cfg.dropout,
-            dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers, name=name)
+            dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
+            torch_init=ti, name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleEncoder(hidden_dim=cfg.hidden_dim,
-                                   num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
+                                   num_res_layers=cfg.num_res_layers, dtype=dt,
+                                   torch_init=ti, name=name)
     return ConvEncoder(hidden_dim=cfg.hidden_dim, arch=cfg.arch,
-                       num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
+                       num_res_layers=cfg.num_res_layers, dtype=dt,
+                       torch_init=ti, name=name)
 
 
 def _make_decoder(cfg: ModelConfig, name: str) -> nn.Module:
     dt = _dtype(cfg)
+    ti = cfg.torch_init
     if cfg.arch == "transformer":
         return TransformerMotionDecoder(
             output_dim=cfg.robot_input_dim, hidden_dim=cfg.hidden_dim,
             seq_len=cfg.window_size, d_model=cfg.d_model, n_heads=cfg.n_heads,
             num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dropout=cfg.dropout,
-            dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers, name=name)
+            dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
+            torch_init=ti, name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleDecoder(output_dim=cfg.robot_input_dim,
                                    hidden_dim=cfg.hidden_dim,
-                                   num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
+                                   num_res_layers=cfg.num_res_layers, dtype=dt,
+                                   torch_init=ti, name=name)
     return ConvDecoder(output_dim=cfg.robot_input_dim, hidden_dim=cfg.hidden_dim,
-                       arch=cfg.arch, num_res_layers=cfg.num_res_layers, dtype=dt, name=name)
+                       arch=cfg.arch, num_res_layers=cfg.num_res_layers, dtype=dt,
+                       torch_init=ti, name=name)
 
 
 class DualMotionVQVAE(nn.Module):

@@ -11,9 +11,12 @@ the transformer-with-single-token-bottleneck pair), re-designed for TPU:
   batch-global under data sharding automatically (jit sees global shapes);
 - attention over <=64 tokens with d_model=256 — small, fused by XLA.
 
-Weight initialization uses flax defaults (lecun-normal) rather than torch's
-kaiming-uniform; parity with the reference is statistical, not bitwise
-(SURVEY.md §7 'Hard parts').
+Weight initialization uses flax defaults (lecun-normal) by default; with
+``torch_init=True`` every kernel switches to torch's defaults (kaiming-uniform
+U(±sqrt(1/fan_in)) for Linear/Conv, xavier-uniform for attention projections)
+for A/B validation against reference training curves (docs/REF_EXACT.md).
+Biases stay zero-init in both modes (torch uses U(±sqrt(1/fan_in)) biases; the
+weight init dominates the forward scale).
 """
 
 from __future__ import annotations
@@ -24,6 +27,19 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# torch nn.Linear/ConvNd default: kaiming_uniform_(a=sqrt(5)) == U(±sqrt(1/fan_in)),
+# i.e. variance_scaling with scale 1/3, fan_in, uniform.
+TORCH_KERNEL_INIT = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+TORCH_ATTN_INIT = nn.initializers.xavier_uniform()  # torch MultiheadAttention in_proj
+
+
+def dense_kinit(torch_init: bool):
+    return TORCH_KERNEL_INIT if torch_init else nn.initializers.lecun_normal()
+
+
+def attn_kinit(torch_init: bool):
+    return TORCH_ATTN_INIT if torch_init else nn.initializers.lecun_normal()
 
 
 def leaky_relu(x: jax.Array) -> jax.Array:
@@ -69,13 +85,15 @@ class ResBlock1D(nn.Module):
 
     channels: int
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(x)
+        ki = dense_kinit(self.torch_init)
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(h)
         h = leaky_relu(h)
-        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
+        h = nn.Conv(self.channels, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype)(h)
         h = leaky_relu(h)
         return x + h
@@ -92,18 +110,20 @@ class ConvEncoder(nn.Module):
     arch: str = "simple"
     num_res_layers: int = 4
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype)(x)
+        ki = dense_kinit(self.torch_init)
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(x)
         h = leaky_relu(h)
         if self.arch == "resnet":
             for i in range(self.num_res_layers):
-                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
-        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype)(h)
+                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(h)
         h = leaky_relu(h)
         if self.arch == "resnet":
-            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name="res_final")(h, train=train)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name="res_final")(h, train=train)
         return h
 
 
@@ -120,23 +140,25 @@ class ConvDecoder(nn.Module):
     arch: str = "simple"
     num_res_layers: int = 4
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ki = dense_kinit(self.torch_init)
         if self.arch == "resnet":
             h = x
             for i in range(self.num_res_layers):
-                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
+                h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name=f"res_{i}")(h, train=train)
             h = jnp.repeat(h, 2, axis=1)  # nearest upsample x2
-            h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
+            h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(h)
             h = leaky_relu(h)
-            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name="res_mid")(h, train=train)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name="res_mid")(h, train=train)
             h = jnp.repeat(h, 2, axis=1)
-            h = nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(h)
+            h = nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(h)
             return h
-        h = nn.ConvTranspose(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype)(x)
+        h = nn.ConvTranspose(self.hidden_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype, kernel_init=ki)(x)
         h = leaky_relu(h)
-        h = nn.ConvTranspose(self.output_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype)(h)
+        h = nn.ConvTranspose(self.output_dim, kernel_size=(4,), strides=(2,), padding=((2, 2),), dtype=self.dtype, kernel_init=ki)(h)
         return h
 
 
@@ -146,14 +168,16 @@ class NoDownsampleEncoder(nn.Module):
     hidden_dim: int
     num_res_layers: int = 4
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype)(x)
+        ki = dense_kinit(self.torch_init)
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki)(x)
         h = leaky_relu(h)
         for i in range(self.num_res_layers):
-            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
-        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, name="final_conv")(h)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name=f"res_{i}")(h, train=train)
+        h = nn.Conv(self.hidden_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, kernel_init=ki, name="final_conv")(h)
         return leaky_relu(h)
 
 
@@ -164,13 +188,15 @@ class NoDownsampleDecoder(nn.Module):
     hidden_dim: int
     num_res_layers: int = 4
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         h = x
         for i in range(self.num_res_layers):
-            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, name=f"res_{i}")(h, train=train)
-        return nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype, name="out_conv")(h)
+            h = ResBlock1D(self.hidden_dim, dtype=self.dtype, torch_init=self.torch_init, name=f"res_{i}")(h, train=train)
+        return nn.Conv(self.output_dim, kernel_size=(3,), strides=(1,), padding=((1, 1),), dtype=self.dtype,
+                       kernel_init=dense_kinit(self.torch_init), name="out_conv")(h)
 
 
 class TransformerBlock(nn.Module):
@@ -182,22 +208,25 @@ class TransformerBlock(nn.Module):
     ff_dim: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mask=None) -> jax.Array:
+        ki = dense_kinit(self.torch_init)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             qkv_features=self.d_model,
             dropout_rate=self.dropout,
             deterministic=not train,
             dtype=self.dtype,
+            kernel_init=attn_kinit(self.torch_init),
             name="self_attn",
         )(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
-        h = nn.Dense(self.ff_dim, dtype=self.dtype, name="ff1")(x)
+        h = nn.Dense(self.ff_dim, dtype=self.dtype, kernel_init=ki, name="ff1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="ff2")(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=ki, name="ff2")(h)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
         return x
 
@@ -220,6 +249,7 @@ class TransformerStack(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     scan: bool = False
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -227,6 +257,7 @@ class TransformerStack(nn.Module):
             for i in range(self.num_layers):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
+                                     torch_init=self.torch_init,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
             return h
 
@@ -272,12 +303,13 @@ class TransformerMotionEncoder(nn.Module):
     dtype: Any = jnp.float32
     attn_packing: int = 1
     scan_layers: bool = False
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, T, C_in)
         B, T = x.shape[0], x.shape[1]
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)
+        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="input_proj")(x)
         h = h + sinusoidal_pe(T, self.d_model, h.dtype)
         P = self.attn_packing if self.attn_packing > 1 and B % self.attn_packing == 0 else 1
         mask = None
@@ -292,11 +324,12 @@ class TransformerMotionEncoder(nn.Module):
             for i in range(self.num_layers):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
+                                     torch_init=self.torch_init,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
         h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
-        return nn.Dense(self.hidden_dim, dtype=self.dtype, name="output_proj")(h)  # (B, 1, hidden)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="output_proj")(h)  # (B, 1, hidden)
 
 
 class TransformerMotionDecoder(nn.Module):
@@ -314,12 +347,13 @@ class TransformerMotionDecoder(nn.Module):
     dtype: Any = jnp.float32
     attn_packing: int = 1
     scan_layers: bool = False
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         # x: (B, 1, hidden)
         B, T = x.shape[0], self.seq_len
-        h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(x)  # (B, 1, d_model)
+        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="input_proj")(x)  # (B, 1, d_model)
         h = jnp.broadcast_to(h, (B, T, self.d_model))
         h = h + sinusoidal_pe(T, self.d_model, h.dtype)
         P = self.attn_packing if self.attn_packing > 1 and B % self.attn_packing == 0 else 1
@@ -335,7 +369,8 @@ class TransformerMotionDecoder(nn.Module):
             for i in range(self.num_layers):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
+                                     torch_init=self.torch_init,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
-        return nn.Dense(self.output_dim, dtype=self.dtype, name="output_proj")(h)  # (B, T, out)
+        return nn.Dense(self.output_dim, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="output_proj")(h)  # (B, T, out)

@@ -77,6 +77,19 @@ class VectorQuantizer(nn.Module):
     commitment_cost: float = 0.25
     use_ema: bool = False
     decay: float = 0.99
+    # Warm-start the EMA state so it is self-consistent at step 0:
+    # ema_w = embedding, ema_cluster_size = 1 (one pseudo-observation per code
+    # sitting exactly at the code). The reference instead normal-inits ema_w
+    # with zero cluster sizes (vqvae.py:24-26), so its very first EMA fold
+    # produces embeddings of norm ~ N(0,1)/1e-5 ≈ 1e5 for every unused code;
+    # those giant codes take O(1/(1-decay) * ln(1e5)) ≈ 1150 steps to decay
+    # back to O(1), during which the nearest-code search degenerates to the
+    # single smallest-norm code. With the reference's small batches over a
+    # large dataset that transient passes inside 2-3 epochs, but at TPU-sized
+    # batches (few steps/epoch) it pinned the flagship hybrid at PPL=1 for
+    # 75+ epochs and collapsed one of two seeds permanently (round-1 VERDICT
+    # item 2). warm_start=False restores the reference's exact init for A/B.
+    warm_start: bool = True
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
@@ -89,17 +102,23 @@ class VectorQuantizer(nn.Module):
         if self.use_ema:
             # EMA codebook + stats live in `qstats`, not `params`: the optimizer
             # never sees them, mirroring torch buffers — but updates are traced,
-            # not in-place. ema_w is normal-init like the reference (vqvae.py:26)
-            # so the early-training dead-code dynamics (and hence the published
-            # DCR numbers) are reproduced rather than idealised away.
+            # not in-place.
             embedding_var = self.variable(
                 "qstats", "embedding",
                 lambda: uniform_init(self.make_rng("params"), (K, D)))
-            ema_cluster_size = self.variable(
-                "qstats", "ema_cluster_size", lambda: jnp.zeros((K,), jnp.float32))
-            ema_w = self.variable(
-                "qstats", "ema_w",
-                lambda: jax.random.normal(self.make_rng("params"), (K, D), jnp.float32))
+            if self.warm_start:
+                ema_cluster_size = self.variable(
+                    "qstats", "ema_cluster_size", lambda: jnp.ones((K,), jnp.float32))
+                # .copy(): aliasing the embedding buffer breaks donate_argnums
+                # (same buffer donated twice)
+                ema_w = self.variable(
+                    "qstats", "ema_w", lambda: jnp.copy(embedding_var.value))
+            else:
+                ema_cluster_size = self.variable(
+                    "qstats", "ema_cluster_size", lambda: jnp.zeros((K,), jnp.float32))
+                ema_w = self.variable(
+                    "qstats", "ema_w",
+                    lambda: jax.random.normal(self.make_rng("params"), (K, D), jnp.float32))
             embedding = embedding_var.value
         else:
             embedding = self.param("embedding", uniform_init, (K, D))
@@ -152,6 +171,7 @@ class ResidualVQ(nn.Module):
     commitment_cost: float = 0.25
     use_ema: bool = True
     decay: float = 0.99
+    warm_start: bool = True
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
@@ -166,6 +186,7 @@ class ResidualVQ(nn.Module):
                 commitment_cost=self.commitment_cost,
                 use_ema=self.use_ema,
                 decay=self.decay,
+                warm_start=self.warm_start,
                 name=f"vq_{i}",
             )(residual, train=train)
             residual = residual - q
@@ -192,14 +213,17 @@ class FSQ(nn.Module):
 
     levels: Sequence[int]
     input_dim: int
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
+        from ..models.layers import dense_kinit
+        ki = dense_kinit(self.torch_init)
         fsq_dim = len(self.levels)
         in_dtype = z.dtype
-        zp = nn.Dense(fsq_dim, name="project_in")(z.astype(jnp.float32))  # (B, T, fsq_dim)
+        zp = nn.Dense(fsq_dim, kernel_init=ki, name="project_in")(z.astype(jnp.float32))  # (B, T, fsq_dim)
         z_hard = zp + jax.lax.stop_gradient(jnp.round(zp) - zp)
-        out = nn.Dense(self.input_dim, name="project_out")(z_hard).astype(in_dtype)
+        out = nn.Dense(self.input_dim, kernel_init=ki, name="project_out")(z_hard).astype(in_dtype)
 
         basis = jnp.asarray(
             [math.prod(self.levels[:i]) for i in range(fsq_dim)], dtype=jnp.float32
@@ -224,11 +248,14 @@ class LFQ(nn.Module):
     input_dim: int
     codebook_dim: int = 10
     entropy_loss_weight: float = 0.1
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
+        from ..models.layers import dense_kinit
+        ki = dense_kinit(self.torch_init)
         in_dtype = z.dtype
-        z_e = nn.Dense(self.codebook_dim, name="project_in")(z.astype(jnp.float32))
+        z_e = nn.Dense(self.codebook_dim, kernel_init=ki, name="project_in")(z.astype(jnp.float32))
         z_sign = jnp.where(z_e > 0, 1.0, -1.0).astype(z_e.dtype)
         z_q = ste(z_e, z_sign)
 
@@ -236,7 +263,7 @@ class LFQ(nn.Module):
         entropy = -(prob * jnp.log(prob + 1e-6) + (1 - prob) * jnp.log(1 - prob + 1e-6))
         loss = -jnp.mean(entropy) * self.entropy_loss_weight
 
-        out = nn.Dense(self.input_dim, name="project_out")(z_q).astype(in_dtype)
+        out = nn.Dense(self.input_dim, kernel_init=ki, name="project_out")(z_q).astype(in_dtype)
 
         bits = (z_q > 0).astype(jnp.int32)  # (B, T, C)
         basis = (2 ** jnp.arange(self.codebook_dim, dtype=jnp.int32))
@@ -257,10 +284,13 @@ class HybridVQ(nn.Module):
     fsq_levels: Sequence[int] = (8, 5, 5, 5)
     vq_codebook_size: int = 1024
     num_quantizers: int = 4
+    warm_start: bool = True
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
-        _, z_fsq, m_fsq = FSQ(levels=self.fsq_levels, input_dim=self.hidden_dim, name="fsq")(z, train=train)
+        _, z_fsq, m_fsq = FSQ(levels=self.fsq_levels, input_dim=self.hidden_dim,
+                              torch_init=self.torch_init, name="fsq")(z, train=train)
         residual = z - z_fsq
         loss_vq, z_vq, m_vq = ResidualVQ(
             num_quantizers=self.num_quantizers,
@@ -268,6 +298,7 @@ class HybridVQ(nn.Module):
             embedding_dim=self.hidden_dim,
             commitment_cost=0.25,
             use_ema=True,
+            warm_start=self.warm_start,
             name="rvq",
         )(residual, train=train)
         z_out = z_fsq + z_vq
@@ -298,23 +329,27 @@ def make_quantizer(cfg) -> nn.Module:
     though HybridVQ's default is 1024 — we reproduce the call-site value.
     """
     m = cfg.method
+    ws = getattr(cfg, "ema_warm_start", True)
     if m == "standard":
         return VectorQuantizer(num_embeddings=cfg.codebook_size, embedding_dim=cfg.hidden_dim,
                                commitment_cost=cfg.commitment_cost, use_ema=False)
     if m == "ema":
         return VectorQuantizer(num_embeddings=cfg.codebook_size, embedding_dim=cfg.hidden_dim,
-                               commitment_cost=cfg.commitment_cost, use_ema=True, decay=cfg.ema_decay)
+                               commitment_cost=cfg.commitment_cost, use_ema=True, decay=cfg.ema_decay,
+                               warm_start=ws)
     if m == "rvq":
         return ResidualVQ(num_quantizers=cfg.n_layers, num_embeddings=cfg.codebook_size,
-                          embedding_dim=cfg.hidden_dim, use_ema=True, decay=cfg.ema_decay)
+                          embedding_dim=cfg.hidden_dim, use_ema=True, decay=cfg.ema_decay,
+                          warm_start=ws)
+    ti = getattr(cfg, "torch_init", False)
     if m == "fsq":
-        return FSQ(levels=tuple(cfg.fsq_levels), input_dim=cfg.hidden_dim)
+        return FSQ(levels=tuple(cfg.fsq_levels), input_dim=cfg.hidden_dim, torch_init=ti)
     if m == "lfq":
         return LFQ(input_dim=cfg.hidden_dim, codebook_dim=cfg.lfq_dim,
-                   entropy_loss_weight=cfg.entropy_loss_weight)
+                   entropy_loss_weight=cfg.entropy_loss_weight, torch_init=ti)
     if m == "hybrid":
         return HybridVQ(hidden_dim=cfg.hidden_dim, fsq_levels=tuple(cfg.fsq_levels),
-                        vq_codebook_size=512)
+                        vq_codebook_size=512, warm_start=ws, torch_init=ti)
     if m == "ae":
         return IdentityVQ()
     raise ValueError(f"Unknown quantization method: {m}")

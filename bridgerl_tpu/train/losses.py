@@ -39,7 +39,15 @@ def time_diff(x: jax.Array, n: int = 1) -> jax.Array:
     return x
 
 
-def velocity_loss(recon: jax.Array, real: jax.Array) -> jax.Array:
+def channel_diff(x: jax.Array) -> jax.Array:
+    """First-order difference along the CHANNEL axis — the reference's literal
+    `[:,:,1:] - [:,:,:-1]` on (B, T, C) (train_ablation.py:214)."""
+    return x[:, :, 1:] - x[:, :, :-1]
+
+
+def velocity_loss(recon: jax.Array, real: jax.Array, ref_exact: bool = False) -> jax.Array:
+    if ref_exact:
+        return mse(channel_diff(recon), channel_diff(real))
     return mse(time_diff(recon, 1), time_diff(real, 1))
 
 
@@ -57,9 +65,10 @@ def teacher_loss(
     lambda_recon: float = 1.0,
     lambda_vq: float = 1.0,
     lambda_vel: float = 0.5,
+    ref_exact_vel: bool = False,
 ) -> Dict[str, jax.Array]:
     l_recon = mse(recon, x_robot)
-    l_vel = velocity_loss(recon, x_robot)
+    l_vel = velocity_loss(recon, x_robot, ref_exact=ref_exact_vel)
     total = lambda_recon * l_recon + lambda_vq * loss_vq + lambda_vel * l_vel
     return {"loss": total, "recon_loss": l_recon, "vq_loss": loss_vq, "vel_loss": l_vel}
 

@@ -39,11 +39,33 @@ from ..utils.logging import TermColor
 
 
 def init_states_vmapped(exp: ExperimentConfig, seeds) -> TrainState:
-    """Stacked TrainState with a leading seed axis (independent inits)."""
-    model, _ = init_model(exp.model, jax.random.key(0))
+    """Stacked TrainState with a leading seed axis (independent inits).
+
+    Student mode mirrors the sequential Trainer's transfer contract
+    (trainer.py:242-249 / reference train_ablation.py:167-180): the teacher
+    checkpoint is REQUIRED, its non-human_encoder leaves are merged into every
+    seed's variables (same teacher for all seeds; per-seed human_encoder inits
+    stay independent), and the optimizer masks everything but human_encoder.
+    """
+    model, template = init_model(exp.model, jax.random.key(0))
+
+    teacher_vars = None
+    tcfg = exp.train
+    if tcfg.mode == "student":
+        if tcfg.resume:
+            raise ValueError("MultiSeedTrainer does not support --resume in "
+                             "student mode; rerun without --resume or use the "
+                             "sequential Trainer")
+        if not tcfg.teacher_ckpt or not os.path.exists(tcfg.teacher_ckpt):
+            raise ValueError("Student mode requires a valid teacher_ckpt")
+        from .checkpoint import load_checkpoint, merge_teacher_into_student, restore_variables
+        tck = load_checkpoint(tcfg.teacher_ckpt)
+        teacher_vars = restore_variables(template, tck["variables"])
 
     def one(seed_key):
         _, variables = init_model(exp.model, seed_key)
+        if teacher_vars is not None:
+            variables = merge_teacher_into_student(variables, teacher_vars)
         params, rest = split_variables(variables)
         tx = make_optimizer(exp, params)
         return TrainState(params, rest, tx.init(params))
@@ -72,6 +94,10 @@ class MultiSeedTrainer:
         seeds = list(tcfg.seeds)
         S = len(seeds)
         mode = tcfg.mode
+        if tcfg.resume:
+            raise ValueError("MultiSeedTrainer does not support --resume (the "
+                             "vmapped state has no per-seed checkpoint merge); "
+                             "use the sequential Trainer to resume")
         if self.verbose:
             print(f"{TermColor.HEADER}🚀 Multi-seed vmap: {exp.name} x {S} seeds | "
                   f"Mode: {mode.upper()}{TermColor.ENDC}")

@@ -112,7 +112,8 @@ def make_train_epoch(
         if mode == "teacher":
             parts = teacher_loss(
                 out["robot"]["recon"], x_r, out["robot"]["loss_vq"],
-                tcfg.lambda_recon, tcfg.lambda_vq, tcfg.lambda_vel)
+                tcfg.lambda_recon, tcfg.lambda_vq, tcfg.lambda_vel,
+                ref_exact_vel=getattr(tcfg, "ref_exact_vel", False))
             if fk_fn is not None:
                 from .losses import fk_loss
 
@@ -237,6 +238,10 @@ class Trainer:
             if ck["config"] is not None and ck["config"].train.mode == mode:
                 start_epoch = ck["epoch"] + 1
                 best_val = ck["best_loss"]
+            # With save_every > 1 the `_last` checkpoint can lag the history
+            # JSON (written every epoch); truncate so re-trained epochs are not
+            # appended as duplicates and indices stay == epoch numbers.
+            history = {k: v[:start_epoch] for k, v in history.items()}
             if self.verbose:
                 print(f"{TermColor.CYAN}    [Resume] {last_path} @ epoch {start_epoch}{TermColor.ENDC}")
         elif mode == "student":
@@ -277,6 +282,9 @@ class Trainer:
         patience_counter = 0
         t0 = time.time()
 
+        # a resume past tcfg.epochs runs zero iterations; the final save below
+        # still needs a defined epoch
+        epoch = max(start_epoch - 1, 0)
         for epoch in range(start_epoch, tcfg.epochs):
             ekey = jax.random.fold_in(root_key, epoch)
             perm_key, drop_key = jax.random.split(ekey)

@@ -47,6 +47,12 @@ def main():
     p.add_argument("--prng", type=str, default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="PRNG impl; rbg is ~25%% faster on TPU (dropout masks)")
+    p.add_argument("--ref_exact", action="store_true",
+                   help="Flip all documented deviations to reference semantics "
+                        "(channel-axis velocity diff, torch kernel inits, cold "
+                        "EMA-state init) for A/B runs — see docs/REF_EXACT.md")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype (f32 master weights + codebook math)")
     args = p.parse_args()
 
     if args.prng != "threefry2x32":
@@ -73,7 +79,13 @@ def main():
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
+    if args.ref_exact:
+        from bridgerl_tpu.config import ref_exact
+        exp = ref_exact(exp)
+        print("!!! ref-exact mode: channel-axis velocity diff, torch inits, "
+              "cold EMA init !!!")
 
     mesh = make_mesh() if args.data_parallel and jax.device_count() > 1 else None
     if mesh is not None:

@@ -1,0 +1,123 @@
+"""Regression tests for the round-2 EMA warm-start fix and ref-exact mode.
+
+Round-1 failure: the reference's cold EMA init (ema_w ~ N(0,1), cluster_size
+0, vqvae.py:24-26) makes the first EMA fold produce ~1e5-norm embeddings for
+every unused code; at TPU batch sizes (few steps/epoch) the nearest-code
+search then degenerates to one code for dozens of epochs and the flagship
+hybrid collapsed (PPL=1). The warm start (ema_w = embedding, cluster_size = 1)
+is self-consistent at step 0 and keeps code norms bounded from the first fold.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bridgerl_tpu.config import ModelConfig, TrainConfig, make_experiment, ref_exact
+from bridgerl_tpu.ops import HybridVQ, VectorQuantizer
+
+K, D = 64, 16
+KEY = jax.random.key(0)
+
+
+def _steps(q, vs, n_steps, key=KEY, batch=256):
+    """Run n training steps, returning (final qstats, last metrics)."""
+    m = None
+    for i in range(n_steps):
+        z = jax.random.normal(jax.random.fold_in(key, i), (batch, 1, D))
+        (loss, out, m), upd = q.apply(vs, z, train=True, mutable=["qstats"])
+        vs = {**vs, "qstats": upd["qstats"]}
+    return vs, m
+
+
+def test_warm_start_state_is_self_consistent_at_init():
+    q = VectorQuantizer(num_embeddings=K, embedding_dim=D, use_ema=True, warm_start=True)
+    vs = q.init({"params": KEY}, jnp.zeros((4, 1, D)))
+    qs = vs["qstats"]
+    np.testing.assert_allclose(np.asarray(qs["ema_w"]), np.asarray(qs["embedding"]))
+    np.testing.assert_allclose(np.asarray(qs["ema_cluster_size"]), np.ones(K))
+
+
+def test_warm_start_keeps_code_norms_bounded():
+    q = VectorQuantizer(num_embeddings=K, embedding_dim=D, use_ema=True, warm_start=True)
+    vs = q.init({"params": KEY}, jnp.zeros((4, 1, D)))
+    vs, m = _steps(q, vs, 5)
+    norms = np.linalg.norm(np.asarray(vs["qstats"]["embedding"]), axis=1)
+    # data is N(0,1): every code must stay O(1), not O(1e5)
+    assert norms.max() < 10.0, f"exploded codes: max norm {norms.max():.1f}"
+    # and the quantizer must actually use many codes immediately
+    assert float(m["perplexity"]) > K / 4
+
+
+def test_cold_start_reproduces_reference_explosion():
+    """The ref-exact init really does produce the pathology we fixed —
+    documents WHY warm_start is the default."""
+    q = VectorQuantizer(num_embeddings=K, embedding_dim=D, use_ema=True, warm_start=False)
+    vs = q.init({"params": KEY}, jnp.zeros((4, 1, D)))
+    vs, m = _steps(q, vs, 1)
+    norms = np.linalg.norm(np.asarray(vs["qstats"]["embedding"]), axis=1)
+    assert norms.max() > 1e3, "expected the reference's giant-code transient"
+
+
+def test_hybrid_rvq_usable_from_first_steps():
+    """Flagship regression: hybrid's internal RVQ must spread over many codes
+    within a handful of steps (round-1 seed-1024 sat at rvq_ppl=1 for 131
+    epochs)."""
+    q = HybridVQ(hidden_dim=D, vq_codebook_size=K, warm_start=True)
+    vs = q.init({"params": KEY}, jnp.zeros((4, 1, D)))
+    params = vs["params"]
+    qs = vs["qstats"]
+    m = None
+    for i in range(10):
+        z = jax.random.normal(jax.random.fold_in(KEY, i), (256, 1, D))
+        (loss, out, m), upd = q.apply(
+            {"params": params, "qstats": qs}, z, train=True, mutable=["qstats"])
+        qs = upd["qstats"]
+    assert float(m["rvq_ppl"]) > 8.0, f"RVQ stuck: rvq_ppl={float(m['rvq_ppl'])}"
+
+
+def test_ref_exact_flips_all_switches():
+    exp = make_experiment("transformer", "hybrid", window=10)
+    assert exp.model.ema_warm_start and not exp.model.torch_init
+    assert not exp.train.ref_exact_vel
+    rx = ref_exact(exp)
+    assert not rx.model.ema_warm_start
+    assert rx.model.torch_init
+    assert rx.train.ref_exact_vel
+    # round-trips through JSON (config travels inside checkpoints)
+    rx2 = type(rx).from_json(rx.to_json())
+    assert rx2.model.torch_init and rx2.train.ref_exact_vel
+
+
+def test_ref_exact_velocity_uses_channel_axis():
+    from bridgerl_tpu.train.losses import velocity_loss
+
+    recon = jnp.zeros((2, 4, 3)).at[:, :, 0].set(1.0)  # varies along channels only
+    real = jnp.zeros((2, 4, 3))
+    # time-axis diff of both is zero -> loss 0; channel-axis diff differs
+    assert float(velocity_loss(recon, real)) == 0.0
+    assert float(velocity_loss(recon, real, ref_exact=True)) > 0.0
+
+
+def test_torch_init_changes_kernel_distribution():
+    from bridgerl_tpu.models.dual_vqvae import init_model
+
+    cfg = ModelConfig(arch="simple", method="ae", window_size=8,
+                      human_input_dim=6, robot_input_dim=4, hidden_dim=8)
+    _, v_flax = init_model(cfg, jax.random.key(1))
+    _, v_torch = init_model(dataclasses.replace(cfg, torch_init=True), jax.random.key(1))
+
+    def kernels(v):
+        return [np.asarray(leaf) for path, leaf in
+                jax.tree_util.tree_flatten_with_path(v["params"])[0]
+                if getattr(path[-1], "key", "") == "kernel"]
+
+    kf, kt = kernels(v_flax), kernels(v_torch)
+    assert kf and len(kf) == len(kt)
+    assert any(not np.allclose(a, b) for a, b in zip(kf, kt))
+    # torch kaiming-uniform is bounded at sqrt(1/fan_in); check one conv kernel
+    k = kt[0]
+    fan_in = int(np.prod(k.shape[:-1]))
+    assert np.abs(k).max() <= np.sqrt(1.0 / fan_in) + 1e-6

@@ -174,3 +174,54 @@ def test_early_stopping_triggers(tiny_data, tmp_path):
     exp = small_exp(str(tmp_path), epochs=50, patience=2, learning_rate=0.0)
     history = Trainer(exp, verbose=False).train_seed(tiny_data, 42)
     assert len(history["train_loss"]) <= 5
+
+
+# ---------- multiseed student transfer (round-2 ADVICE high fix) ----------
+
+def test_multiseed_student_requires_teacher(tiny_data, tmp_path):
+    from bridgerl_tpu.train import MultiSeedTrainer
+
+    exp = small_exp(str(tmp_path), mode="student", seeds=(42, 43))
+    with pytest.raises(ValueError, match="teacher_ckpt"):
+        MultiSeedTrainer(exp, verbose=False).run(tiny_data)
+
+
+def test_multiseed_rejects_resume(tiny_data, tmp_path):
+    from bridgerl_tpu.train import MultiSeedTrainer
+
+    exp = small_exp(str(tmp_path), mode="teacher", seeds=(42, 43), resume=True)
+    with pytest.raises(ValueError, match="resume"):
+        MultiSeedTrainer(exp, verbose=False).run(tiny_data)
+
+
+def test_multiseed_student_merges_teacher_into_every_seed(tiny_data, tmp_path):
+    """ADVICE round-1 high: with --mode student --multiseed the robot tower
+    must come from the teacher checkpoint, not stay at random init."""
+    from bridgerl_tpu.train.multiseed import init_states_vmapped
+    from bridgerl_tpu.train.checkpoint import load_checkpoint, restore_variables
+
+    t_exp = small_exp(str(tmp_path), mode="teacher", seeds=(42,), epochs=1)
+    Trainer(t_exp, verbose=False).run(tiny_data)
+    tpath = os.path.join(t_exp.checkpoint_dir, t_exp.ckpt_name(42, "best") + ".ckpt")
+
+    s_exp = small_exp(str(tmp_path), mode="student", seeds=(42, 43), teacher_ckpt=tpath)
+    states = init_states_vmapped(s_exp, [42, 43])
+
+    _, template = init_model(s_exp.model, jax.random.key(0))
+    teacher = restore_variables(template, load_checkpoint(tpath)["variables"])
+
+    def first_kernel(tree):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if getattr(path[-1], "key", "") == "kernel":
+                return np.asarray(leaf)
+        raise AssertionError("no kernel leaf")
+
+    # every seed's robot_encoder == teacher's robot_encoder
+    t_leaf = first_kernel(teacher["params"]["robot_encoder"])
+    s_leaves = first_kernel(states.params["robot_encoder"])
+    for i in range(2):
+        np.testing.assert_allclose(s_leaves[i], t_leaf, rtol=1e-6)
+
+    # human_encoder stays per-seed independent (different inits)
+    h = first_kernel(states.params["human_encoder"])
+    assert not np.allclose(h[0], h[1])
