@@ -133,9 +133,10 @@ class MultiSeedTrainer:
         # vmap: state/idx/keys stacked over seeds; dataset shared
         vm_epoch = jax.jit(jax.vmap(epoch_fn, in_axes=(0, None, None, 0, 0)),
                            donate_argnums=(0,))
-        vm_eval = jax.jit(jax.vmap(
-            lambda st_vars, vidx: eval_fn(st_vars, ds.robot, ds.human, vidx),
-            in_axes=(0, 0)))
+        # dataset must be an ARGUMENT, not a closure capture: captured arrays
+        # are baked into the executable as constants (gigabytes at dense-
+        # dataset scale) and blow up compile time and HBM
+        vm_eval = jax.jit(jax.vmap(eval_fn, in_axes=(0, None, None, 0)))
 
         histories = {s: empty_history() for s in seeds}
         best = {s: float("inf") for s in seeds}
@@ -160,7 +161,8 @@ class MultiSeedTrainer:
             states, logs = vm_epoch(states, ds.robot, ds.human, idx_stack, key_stack)
             # validation: map val-chunk indices into each seed's global val ids
             vidx_stack = jnp.take(val_idx, jnp.asarray(vmat), axis=1)  # (S, nbv, vb)
-            vals = vm_eval(jax.vmap(lambda s: s.variables())(states), vidx_stack)
+            vals = vm_eval(jax.vmap(lambda s: s.variables())(states),
+                           ds.robot, ds.human, vidx_stack)
 
             logs_h = {k: np.asarray(v) for k, v in logs.items()}
             vals_h = {k: np.asarray(v) for k, v in vals.items()}
