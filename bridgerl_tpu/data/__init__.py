@@ -23,4 +23,5 @@ from .rotations import (
     quat_to_matrix,
     rotation_6d_to_matrix,
 )
+from .manifest import DATASET, VerifyReport, candidate_files, verify_tree
 from .synthetic import generate_synthetic_dataset, synth_pair, synthetic_npz_tree

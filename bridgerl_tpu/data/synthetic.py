@@ -78,7 +78,8 @@ def generate_synthetic_dataset(
 
 def synthetic_npz_tree(root: str, n_files: int = 4, T: int = 200, seed: int = 0) -> str:
     """Create a raw npz directory tree shaped like the ModelScope download
-    (train subdir with 'joint_pos' + 'smplx_pose_body' keys) for pipeline tests."""
+    (train subdir with 'joint_pos' + 'smplx_pose_body' keys) — the schema
+    fixture for offline pipeline/manifest tests."""
     rng = np.random.default_rng(seed)
     train_dir = os.path.join(root, "train_set")
     os.makedirs(train_dir, exist_ok=True)
