@@ -5,7 +5,11 @@ the idiomatic TPU recipe: ONE `jax.sharding.Mesh` with a `data` axis; params
 replicated, batch sharded via `NamedSharding`; gradients/batch-norm stats/EMA
 codebook statistics become batch-global automatically because `jit` traces the
 global program and XLA inserts the ICI collectives (SURVEY.md §5.8). Multi-host
-scale-out over DCN needs only `jax.distributed.initialize` + the same program.
+scale-out over DCN needs only `jax.distributed.initialize` + the same program —
+executed for real by tests/test_distributed_smoke.py (two CPU processes, one
+global mesh, one full training step, Gloo collectives across the process
+boundary) and by the 3-epoch sharded-vs-unsharded equivalence assertion in
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
