@@ -1,0 +1,177 @@
+"""Quality-parity criteria vs the reference (BASELINE.md), evaluated on this
+framework's own converged runs.
+
+Absolute metric values cannot match the reference (its ModelScope dataset is
+unreachable — zero egress; training here uses the synthetic generator), so
+parity is defined by measurable, data-independent SIGNATURES of the method
+zoo (round-2 VERDICT item 1):
+
+  C1 cross-method recon ordering: hybrid/rvq << fsq <= ema <= simple
+     (reference table README.md:344-362: 0.0120/0.0124 << 0.0317 < 0.0355
+     < 0.0457)
+  C2 FSQ and hybrid report DCR ~= 0 (both 0.0 in the reference table)
+  C3 hybrid PPL approaches the FSQ implicit-codebook capacity class
+     (reference: 1096.8 of prod(8,5,5,5)=1000 nominal; PPL is the
+     unique-code-count proxy, which can exceed the nominal size)
+  C4 hybrid reports rvq_ppl (the auxiliary metric the reference's LaTeX
+     exporter special-cases)
+  C5 ae (IdentityVQ) is the reconstruction upper bound: its recon <= every
+     quantized method's recon on the same arch/window
+  C6 per-config convergence targets on this repo's own data (noise floor of
+     the synthetic generator is ~2.5e-3 per dim for bottlenecked models;
+     resnet_no_down+ae can pass noise through):
+       - resnet_no_down + ae  W10: val_recon < 2e-3   (ref class: 5.4e-4)
+       - transformer + hybrid W10: val_recon < 1.5e-2 (ref class: 7.5e-3)
+       - transformer + hybrid W10 student: val_align < 1e-2 (ref: 4.0e-3)
+  C7 flagship PPL stability: every flagship teacher seed ends with FSQ
+     PPL > 200 (the round-1 seed-1024 collapse pinned it at 1.0; the
+     reference is stable at 1096.8 +- 0.3 across seeds)
+
+Each criterion is computed from `results/log_*.json` by `evaluate_parity` and
+rendered into PARITY.md by scripts/check_parity.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .plots import load_and_aggregate
+
+
+@dataclass
+class Criterion:
+    cid: str
+    description: str
+    passed: Optional[bool]  # None = not evaluable (missing runs)
+    detail: str
+
+
+def _final(metrics: Dict[str, List[list]], key: str, k: int = 5) -> Optional[float]:
+    """Mean over seeds of last-k-epoch means (the exporter's statistic)."""
+    if key not in metrics or not metrics[key]:
+        return None
+    return float(np.mean([np.mean(s[-k:]) for s in metrics[key]]))
+
+
+def _best(metrics: Dict[str, List[list]], key: str) -> Optional[float]:
+    if key not in metrics or not metrics[key]:
+        return None
+    return float(np.mean([np.min(s) for s in metrics[key]]))
+
+
+def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
+    data = load_and_aggregate(log_dir)
+    crits: List[Criterion] = []
+
+    def recon(exp_id):
+        return _final(data.get(exp_id, {}), "val_recon")
+
+    # ---- C1: cross-method recon ordering on the W64 grid ----
+    hybrid, rvq = recon("resnet_hybrid"), recon("resnet_rvq")
+    fsq, ema, simple = recon("resnet_fsq"), recon("resnet_ema"), recon("simple_ema")
+    if None in (hybrid, rvq, fsq, ema, simple):
+        crits.append(Criterion("C1", "recon ordering hybrid/rvq << fsq <= ema <= simple",
+                               None, "grid runs missing"))
+    else:
+        strong = max(hybrid, rvq)
+        ok = strong < 0.7 * fsq and fsq <= ema * 1.15 and ema <= simple * 1.15
+        crits.append(Criterion(
+            "C1", "recon ordering hybrid/rvq << fsq <= ema <= simple", ok,
+            f"hybrid={hybrid:.4g} rvq={rvq:.4g} fsq={fsq:.4g} "
+            f"ema={ema:.4g} simple={simple:.4g}"))
+
+    # ---- C2: FSQ + hybrid DCR ~ 0 ----
+    dcr_f = _final(data.get("resnet_fsq", {}), "dcr")
+    dcr_h = _final(data.get("resnet_hybrid", {}), "dcr")
+    if dcr_f is None or dcr_h is None:
+        crits.append(Criterion("C2", "FSQ & hybrid DCR ~= 0", None, "grid runs missing"))
+    else:
+        # DCR here is 1 - unique/nominal; the unbounded-round FSQ can exceed
+        # nominal capacity, so "~0" means < 0.15 (ref: 0.0 exactly at W10)
+        ok = dcr_f < 0.15 and dcr_h < 0.15
+        crits.append(Criterion("C2", "FSQ & hybrid DCR ~= 0", ok,
+                               f"fsq dcr={dcr_f:.4f} hybrid dcr={dcr_h:.4f}"))
+
+    # ---- C3: hybrid PPL near FSQ capacity class ----
+    ppl_h = _final(data.get("resnet_hybrid", {}), "perplexity")
+    if ppl_h is None:
+        crits.append(Criterion("C3", "hybrid PPL in the FSQ-capacity class (>=500 of ~1000)",
+                               None, "grid runs missing"))
+    else:
+        crits.append(Criterion("C3", "hybrid PPL in the FSQ-capacity class (>=500 of ~1000)",
+                               ppl_h >= 500.0, f"hybrid ppl={ppl_h:.1f} (ref 1096.8)"))
+
+    # ---- C4: hybrid reports rvq_ppl ----
+    has_rvq_ppl = bool(data.get("resnet_hybrid", {}).get("rvq_ppl"))
+    crits.append(Criterion("C4", "hybrid logs the auxiliary rvq_ppl metric",
+                           has_rvq_ppl if data.get("resnet_hybrid") else None,
+                           "present" if has_rvq_ppl else "absent"))
+
+    # ---- C5: ae is the recon upper bound (flagship arch, W10) ----
+    ae = _best(data.get("resnet_no_down_ae", {}), "val_recon")
+    flag = _best(data.get("transformer_hybrid", {}), "val_recon")
+    if ae is None or flag is None:
+        crits.append(Criterion("C5", "ae (IdentityVQ) recon <= quantized recon",
+                               None, "W10 runs missing"))
+    else:
+        crits.append(Criterion("C5", "ae (IdentityVQ) recon <= quantized recon",
+                               ae <= flag,
+                               f"resnet_no_down+ae={ae:.4g} <= transformer+hybrid={flag:.4g}"))
+
+    # ---- C6: per-config convergence targets on own data ----
+    targets = [
+        ("resnet_no_down_ae", "val_recon", 2e-3, "resnet_no_down+ae W10 (ref 5.4e-4)"),
+        ("transformer_hybrid", "val_recon", 1.5e-2, "transformer+hybrid W10 teacher (ref 7.5e-3)"),
+        ("transformer_hybrid", "val_align", 1e-2, "transformer+hybrid W10 student (ref 4.0e-3)"),
+    ]
+    for i, (exp_id, key, thr, label) in enumerate(targets):
+        v = _best(data.get(exp_id, {}), key)
+        # student logs live under the same id when trained via the id-style
+        # name; also check the mode-style id
+        if v is None and key == "val_align":
+            v = _best(data.get("Exp_transformer_W10_student", {}), key)
+        if v is None:
+            crits.append(Criterion(f"C6.{i+1}", f"{label}: best {key} < {thr:g}",
+                                   None, "run missing"))
+        else:
+            crits.append(Criterion(f"C6.{i+1}", f"{label}: best {key} < {thr:g}",
+                                   v < thr, f"best {key}={v:.4g}"))
+
+    # ---- C7: flagship PPL stability across seeds ----
+    flag_ppl = data.get("transformer_hybrid", {}).get("perplexity", [])
+    if not flag_ppl:
+        crits.append(Criterion("C7", "every flagship seed ends with FSQ PPL > 200",
+                               None, "flagship runs missing"))
+    else:
+        finals = [float(np.mean(s[-5:])) for s in flag_ppl]
+        crits.append(Criterion("C7", "every flagship seed ends with FSQ PPL > 200",
+                               all(p > 200 for p in finals),
+                               f"per-seed final ppl={[round(p,1) for p in finals]}"))
+    return crits
+
+
+def render_parity_md(crits: List[Criterion], log_dir: str = "results") -> str:
+    lines = [
+        "# PARITY — quality-parity criteria vs BASELINE.md",
+        "",
+        "Auto-generated by `python scripts/check_parity.py` from "
+        f"`{log_dir}/log_*.json`. Criteria are data-independent method",
+        "signatures (absolute values cannot match: the reference dataset is",
+        "unreachable under zero egress; see bridgerl_tpu/eval/parity.py for",
+        "the rationale of each threshold).",
+        "",
+        "| id | criterion | status | detail |",
+        "|---|---|---|---|",
+    ]
+    for c in crits:
+        status = "PASS" if c.passed else ("FAIL" if c.passed is not None else "n/a")
+        lines.append(f"| {c.cid} | {c.description} | **{status}** | {c.detail} |")
+    n_pass = sum(1 for c in crits if c.passed)
+    n_eval = sum(1 for c in crits if c.passed is not None)
+    lines += ["", f"**{n_pass}/{n_eval} evaluable criteria pass** "
+                  f"({len(crits) - n_eval} not yet evaluable).", ""]
+    return "\n".join(lines)

@@ -149,3 +149,34 @@ def test_latex_table(tmp_path):
     # last-5-epoch mean of val_recon for simple_ema: mean(0.5/k, k=8..12)
     expected = np.mean([0.5 / k for k in range(8, 13)])
     assert f"{expected:.4f}" in table
+
+
+# ---------- parity criteria (round-2) ----------
+
+def test_parity_criteria_not_evaluable_on_empty(tmp_path):
+    from bridgerl_tpu.eval.parity import evaluate_parity, render_parity_md
+
+    crits = evaluate_parity(str(tmp_path))
+    assert all(c.passed is None for c in crits)
+    md = render_parity_md(crits, str(tmp_path))
+    assert "n/a" in md and "| C1 |" in md
+
+
+def test_parity_detects_ordering(tmp_path):
+    from bridgerl_tpu.eval.parity import evaluate_parity
+
+    # synthesize a grid that satisfies the reference ordering signatures
+    vals = {"resnet_hybrid": 0.012, "resnet_rvq": 0.013, "resnet_fsq": 0.032,
+            "resnet_ema": 0.035, "simple_ema": 0.046}
+    for exp_id, r in vals.items():
+        for s in (42, 1024):
+            log = {"val_recon": [r * (1 + 0.01 * k) for k in range(10)],
+                   "perplexity": [900.0] * 10 if "hybrid" in exp_id else [100.0] * 10,
+                   "dcr": [0.01] * 10 if exp_id in ("resnet_fsq", "resnet_hybrid") else [0.5] * 10}
+            if exp_id == "resnet_hybrid":
+                log["rvq_ppl"] = [200.0] * 10
+            with open(os.path.join(tmp_path, f"log_{exp_id}_seed_{s}.json"), "w") as f:
+                json.dump(log, f)
+    crits = {c.cid: c for c in evaluate_parity(str(tmp_path))}
+    assert crits["C1"].passed and crits["C2"].passed
+    assert crits["C3"].passed and crits["C4"].passed
