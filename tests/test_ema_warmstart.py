@@ -121,3 +121,34 @@ def test_torch_init_changes_kernel_distribution():
     k = kt[0]
     fan_in = int(np.prod(k.shape[:-1]))
     assert np.abs(k).max() <= np.sqrt(1.0 / fan_in) + 1e-6
+
+
+def test_flagship_shaped_multiseed_ppl_no_collapse(tmp_path):
+    """Round-1 regression (VERDICT task 2): a flagship-shaped transformer+
+    hybrid teacher must NOT pin FSQ/RVQ perplexity at 1 — for EVERY seed.
+    Scaled-down dims, real training loop, vmapped seeds."""
+    import dataclasses
+    import os as _os
+
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.data import PairedDataset, generate_synthetic_dataset
+    from bridgerl_tpu.train import MultiSeedTrainer
+
+    d = tmp_path / "data"
+    arrays = generate_synthetic_dataset(str(d), n_sequences=8, min_len=80, max_len=120,
+                                        window=10, step=1, seed=3)
+    ds = PairedDataset.from_numpy(arrays["g1_train.npy"], arrays["human_train.npy"])
+
+    exp = make_experiment(
+        "transformer", "hybrid", window=10, mode="teacher", seeds=(42, 1024),
+        hidden_dim=16, d_model=32, ff_dim=64, n_tf_layers=1, codebook_size=64,
+        epochs=8, batch_size=128,
+    )
+    exp = dataclasses.replace(exp, log_dir=_os.path.join(tmp_path, "results"),
+                              checkpoint_dir=_os.path.join(tmp_path, "ckpts"))
+    hist = MultiSeedTrainer(exp, verbose=False).run(ds)
+    for s, h in hist.items():
+        # RVQ must spread over many codes immediately (collapse sat at 1.0)
+        assert h["rvq_ppl"][-1] > 5.0, (s, h["rvq_ppl"])
+        # and recon must actually move off the constant-output plateau
+        assert h["val_recon"][-1] < 0.9 * h["val_recon"][0], (s, h["val_recon"])
