@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Throughput sweep over batch size / attention packing / dtype variants.
+
+Produces the batch-curve evidence for the round-2 perf work (VERDICT task 3):
+one JSON line per point plus a final markdown table on stderr. Run on the real
+chip with nothing else on it.
+"""
+
+import argparse
+import itertools
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="+", default=[2048, 4096, 8192, 16384])
+    p.add_argument("--packings", type=int, nargs="+", default=[8])
+    p.add_argument("--dtypes", type=str, nargs="+", default=["bfloat16"])
+    p.add_argument("--dropout", type=float, nargs="+", default=[0.1])
+    p.add_argument("--n_windows", type=int, default=65536)
+    p.add_argument("--epochs_timed", type=int, default=6)
+    p.add_argument("--prng", type=str, default="rbg")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_default_prng_impl", args.prng)
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    import bench
+
+    rows = []
+    for batch, pack, dt, drop in itertools.product(
+            args.batches, args.packings, args.dtypes, args.dropout):
+        if batch % pack != 0 or batch > args.n_windows:
+            continue
+        rate, loss = bench.bench_training(
+            batch=batch, attn_packing=pack, compute_dtype=dt,
+            n_windows=args.n_windows, epochs_timed=args.epochs_timed,
+            dropout=drop)
+        row = {"batch": batch, "attn_packing": pack, "dtype": dt,
+               "dropout": drop, "windows_per_sec_per_chip": round(rate, 1),
+               "final_loss": round(loss, 4)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\n| batch | pack | dtype | dropout | windows/s/chip |", file=sys.stderr)
+    print("|---|---|---|---|---|", file=sys.stderr)
+    for r in rows:
+        print(f"| {r['batch']} | {r['attn_packing']} | {r['dtype']} | "
+              f"{r['dropout']} | {r['windows_per_sec_per_chip']:,.0f} |",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
