@@ -136,6 +136,12 @@ class ExperimentConfig:
         return f"{self.name}_{self.model.method}_{self.train.mode}_seed_{seed}"
 
     def log_name(self, seed: int) -> str:
+        # Teacher keeps the bare id (reference grouping); the student gets its
+        # own log family — with a shared name the student's every-epoch write
+        # would overwrite the teacher history of the same experiment (the
+        # reference's shipped logs are mode-distinct files).
+        if self.train.mode == "student":
+            return f"log_{self.id}_student_seed_{seed}.json"
         return f"log_{self.id}_seed_{seed}.json"
 
     def ckpt_name(self, seed: int, kind: str) -> str:

@@ -141,6 +141,20 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
             crits.append(Criterion(f"C6.{i+1}", f"{label}: best {key} < {thr:g}",
                                    v < thr, f"best {key}={v:.4g}"))
 
+    # ---- C8: retargeting closes the loop — the student's cross-recon
+    # (human -> robot decoder vs robot GT) must land in the teacher's recon
+    # class (reference: cross 0.0127 vs recon 0.0120, ~1.06x) ----
+    stud = data.get("Exp_transformer_W10_student", {})
+    cross = _best(stud, "val_cross_recon")
+    t_recon = _best(data.get("transformer_hybrid", {}), "val_recon")
+    if cross is None or t_recon is None:
+        crits.append(Criterion("C8", "student cross-recon within 3x of teacher recon",
+                               None, "student/teacher runs missing"))
+    else:
+        crits.append(Criterion("C8", "student cross-recon within 3x of teacher recon",
+                               cross <= 3.0 * t_recon,
+                               f"cross={cross:.4g} vs teacher recon={t_recon:.4g}"))
+
     # ---- C7: flagship PPL stability across seeds ----
     flag_ppl = data.get("transformer_hybrid", {}).get("perplexity", [])
     if not flag_ppl:
