@@ -27,6 +27,11 @@ python scripts/export_motion.py \
 python scripts/play_g1_npy.py \
     --input_file motions/recon_transformer_FullSeq_W10_idx0.npy \
     --render plots/replay_flagship.gif
-python scripts/analyze_latent_space.py --data_dir data/dense_w10 || true
+python scripts/analyze_latent_space.py --raw_dir data/raw_actions \
+    --data_dir data/dense_w10 \
+    --ckpt checkpoints/Exp_transformer_W10_hybrid_teacher_seed_42_best.ckpt || true
+python scripts/analyze_latent_space.py --raw_dir data/raw_actions \
+    --data_dir data/dense_w10 \
+    --ckpt checkpoints/Exp_transformer_W10_hybrid_student_seed_42_best.ckpt || true
 
 echo "STAGE3 DONE"
