@@ -89,10 +89,10 @@ def main():
 
     enable_compilation_cache()
     rate, loss = bench_training(compute_dtype="bfloat16")
-    if "--f32" in sys.argv:
-        rate_f32, loss_f32 = bench_training(compute_dtype="float32")
-    else:
+    if "--no_f32" in sys.argv:
         rate_f32, loss_f32 = -1.0, float("nan")
+    else:
+        rate_f32, loss_f32 = bench_training(compute_dtype="float32", epochs_timed=4)
     try:
         replay_sps = bench_replay()
     except Exception as e:  # keep the primary metric robust
