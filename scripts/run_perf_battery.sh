@@ -1,0 +1,19 @@
+#!/bin/bash
+# Round-2 perf battery (VERDICT task 3): run on an idle chip.
+set -x
+cd /root/repo
+
+# 1. cost analysis + per-step timing at the three batch points
+for b in 4096 8192 16384; do
+  python scripts/profile_step.py --batch $b | tee -a perf_battery.log
+done
+
+# 2. packing sweep at the two big batches
+python scripts/bench_sweep.py --batches 8192 16384 --packings 8 16 32 \
+    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+
+# 3. dropout ablation (isolate RNG+mask cost) at 4096
+python scripts/bench_sweep.py --batches 4096 --packings 8 --dropout 0.1 0.0 \
+    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+
+echo BATTERY DONE
