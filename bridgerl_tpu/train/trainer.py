@@ -131,12 +131,43 @@ def make_train_epoch(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    accum = max(int(getattr(tcfg, "accum_chunks", 1)), 1)
+
     def train_epoch(state: TrainState, robot, human, idx_mat, keys):
+        def batch_grads(params, rest, idx, key):
+            """Gradients + new mutable collections for one optimizer batch.
+
+            With accum_chunks > 1 the batch is a lax.scan over microbatches:
+            summed-then-averaged gradients are bit-identical to the monolithic
+            step (every loss is a batch mean), while live activation memory
+            shrinks by the chunk factor — large global batches then run at the
+            compute-optimal microbatch's rate instead of thrashing HBM."""
+            if accum == 1:
+                x_r = shard_batch(mesh, jnp.take(robot, idx, axis=0))
+                x_h = shard_batch(mesh, jnp.take(human, idx, axis=0)) if mode == "student" else None
+                (_, (new_rest, logs)), grads = grad_fn(params, rest, x_r, x_h, key)
+                return grads, new_rest, logs
+
+            idx_c = idx.reshape(accum, idx.shape[0] // accum)
+            keys_c = jax.random.split(key, accum)
+
+            def micro(carry, xs):
+                rest_c, gsum = carry
+                idx2, key2 = xs
+                x_r = shard_batch(mesh, jnp.take(robot, idx2, axis=0))
+                x_h = shard_batch(mesh, jnp.take(human, idx2, axis=0)) if mode == "student" else None
+                (_, (new_rest, logs)), g = grad_fn(params, rest_c, x_r, x_h, key2)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (new_rest, gsum), logs
+
+            gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            (new_rest, gsum), logs = jax.lax.scan(micro, (rest, gzero), (idx_c, keys_c))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            return grads, new_rest, jax.tree_util.tree_map(jnp.mean, logs)
+
         def body(state: TrainState, xs):
             idx, key = xs
-            x_r = shard_batch(mesh, jnp.take(robot, idx, axis=0))
-            x_h = shard_batch(mesh, jnp.take(human, idx, axis=0)) if mode == "student" else None
-            (_, (new_rest, logs)), grads = grad_fn(state.params, state.rest, x_r, x_h, key)
+            grads, new_rest, logs = batch_grads(state.params, state.rest, idx, key)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
             return TrainState(new_params, new_rest, new_opt), logs

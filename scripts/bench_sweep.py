@@ -21,6 +21,8 @@ def main():
     p.add_argument("--packings", type=int, nargs="+", default=[8])
     p.add_argument("--dtypes", type=str, nargs="+", default=["bfloat16"])
     p.add_argument("--dropout", type=float, nargs="+", default=[0.1])
+    p.add_argument("--accums", type=int, nargs="+", default=[1],
+                   help="gradient-accumulation chunk counts to sweep")
     p.add_argument("--n_windows", type=int, default=65536)
     p.add_argument("--epochs_timed", type=int, default=6)
     p.add_argument("--prng", type=str, default="rbg")
@@ -34,25 +36,27 @@ def main():
     import bench
 
     rows = []
-    for batch, pack, dt, drop in itertools.product(
-            args.batches, args.packings, args.dtypes, args.dropout):
-        if batch % pack != 0 or batch > args.n_windows:
+    for batch, pack, dt, drop, accum in itertools.product(
+            args.batches, args.packings, args.dtypes, args.dropout, args.accums):
+        if batch % pack != 0 or batch > args.n_windows or batch % accum != 0:
             continue
         rate, loss = bench.bench_training(
             batch=batch, attn_packing=pack, compute_dtype=dt,
             n_windows=args.n_windows, epochs_timed=args.epochs_timed,
-            dropout=drop)
+            dropout=drop, accum_chunks=accum)
         row = {"batch": batch, "attn_packing": pack, "dtype": dt,
-               "dropout": drop, "windows_per_sec_per_chip": round(rate, 1),
+               "dropout": drop, "accum_chunks": accum,
+               "windows_per_sec_per_chip": round(rate, 1),
                "final_loss": round(loss, 4)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| batch | pack | dtype | dropout | windows/s/chip |", file=sys.stderr)
-    print("|---|---|---|---|---|", file=sys.stderr)
+    print("\n| batch | pack | dtype | dropout | accum | windows/s/chip |", file=sys.stderr)
+    print("|---|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
         print(f"| {r['batch']} | {r['attn_packing']} | {r['dtype']} | "
-              f"{r['dropout']} | {r['windows_per_sec_per_chip']:,.0f} |",
+              f"{r['dropout']} | {r['accum_chunks']} | "
+              f"{r['windows_per_sec_per_chip']:,.0f} |",
               file=sys.stderr)
 
 

@@ -12,6 +12,13 @@ done
 python scripts/bench_sweep.py --batches 8192 16384 --packings 8 16 32 \
     --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
 
+# 2b. gradient-accumulation sweep: big global batches at the compute-optimal
+#     4096 microbatch (accum = batch/4096) vs monolithic
+python scripts/bench_sweep.py --batches 8192 --packings 8 --accums 1 2 \
+    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+python scripts/bench_sweep.py --batches 16384 --packings 8 --accums 1 4 \
+    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+
 # 3. dropout ablation (isolate RNG+mask cost) at 4096
 python scripts/bench_sweep.py --batches 4096 --packings 8 --dropout 0.1 0.0 \
     --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log

@@ -41,6 +41,11 @@ def main():
                    help="World-space FK loss weight (teacher stage)")
     p.add_argument("--profile", type=str, default=None,
                    help="jax.profiler trace directory (wraps the whole run)")
+    p.add_argument("--accum_chunks", type=int, default=1,
+                   help="Split each optimizer batch into N sequential "
+                        "microbatches (summed grads, one optimizer step): "
+                        "identical gradients, 1/N the live activation memory "
+                        "— lets 8k-16k global batches run at the 4k rate")
     p.add_argument("--attn_packing", type=int, default=1,
                    help="Pack P windows per attention call (block-diag mask; "
                         "math-identical, big MXU win for small windows)")
@@ -77,7 +82,7 @@ def main():
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
-        attn_packing=args.attn_packing,
+        attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
