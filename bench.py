@@ -25,7 +25,8 @@ BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
 
 def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                    n_windows=65536, epochs_timed=8, compute_dtype="bfloat16",
-                   attn_packing=8, dropout=0.1, accum_chunks=1):
+                   attn_packing=8, dropout=0.1, accum_chunks=1,
+                   fused_attention=False):
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.models import init_model
     from bridgerl_tpu.train import (
@@ -38,7 +39,8 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
     exp = make_experiment(arch, method, window=window, mode="teacher",
                           batch_size=batch, compute_dtype=compute_dtype,
                           attn_packing=attn_packing, dropout=dropout,
-                          accum_chunks=accum_chunks)
+                          accum_chunks=accum_chunks,
+                          fused_attention=fused_attention)
     model, variables = init_model(exp.model, jax.random.key(0))
     params, rest = split_variables(variables)
     tx = make_optimizer(exp, params)

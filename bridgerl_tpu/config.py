@@ -45,6 +45,11 @@ class ModelConfig:
     # compile the transformer layer once and lax.scan it over stacked params
     # (compile-time saver on remote-compile runtimes; changes the param tree)
     scan_layers: bool = False
+    # fused Pallas attention core (scores+mask+softmax+dropout+PV in VMEM,
+    # flash-style custom VJP; ops/pallas/attention.py). Same param tree —
+    # only the attention_fn changes. Off-TPU (or with dropout active off-TPU)
+    # falls back to the stock flax kernel.
+    fused_attention: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     lfq_dim: int = 10

@@ -209,10 +209,15 @@ class TransformerBlock(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     torch_init: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mask=None) -> jax.Array:
         ki = dense_kinit(self.torch_init)
+        attn_kwargs = {}
+        if self.fused_attention:
+            from ..ops.pallas.attention import fused_attention_fn
+            attn_kwargs["attention_fn"] = fused_attention_fn
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             qkv_features=self.d_model,
@@ -221,6 +226,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             kernel_init=attn_kinit(self.torch_init),
             name="self_attn",
+            **attn_kwargs,
         )(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         h = nn.Dense(self.ff_dim, dtype=self.dtype, kernel_init=ki, name="ff1")(x)
@@ -250,6 +256,7 @@ class TransformerStack(nn.Module):
     dtype: Any = jnp.float32
     scan: bool = False
     torch_init: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -258,6 +265,7 @@ class TransformerStack(nn.Module):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
+                                     fused_attention=self.fused_attention,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
             return h
 
@@ -304,6 +312,7 @@ class TransformerMotionEncoder(nn.Module):
     attn_packing: int = 1
     scan_layers: bool = False
     torch_init: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -325,6 +334,7 @@ class TransformerMotionEncoder(nn.Module):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
+                                     fused_attention=self.fused_attention,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
@@ -348,6 +358,7 @@ class TransformerMotionDecoder(nn.Module):
     attn_packing: int = 1
     scan_layers: bool = False
     torch_init: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -370,6 +381,7 @@ class TransformerMotionDecoder(nn.Module):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
+                                     fused_attention=self.fused_attention,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--dropout", type=float, nargs="+", default=[0.1])
     p.add_argument("--accums", type=int, nargs="+", default=[1],
                    help="gradient-accumulation chunk counts to sweep")
+    p.add_argument("--fused", type=int, nargs="+", default=[0],
+                   help="fused Pallas attention on/off (1/0) variants")
     p.add_argument("--n_windows", type=int, default=65536)
     p.add_argument("--epochs_timed", type=int, default=6)
     p.add_argument("--prng", type=str, default="rbg")
@@ -36,16 +38,17 @@ def main():
     import bench
 
     rows = []
-    for batch, pack, dt, drop, accum in itertools.product(
-            args.batches, args.packings, args.dtypes, args.dropout, args.accums):
+    for batch, pack, dt, drop, accum, fused in itertools.product(
+            args.batches, args.packings, args.dtypes, args.dropout,
+            args.accums, args.fused):
         if batch % pack != 0 or batch > args.n_windows or batch % accum != 0:
             continue
         rate, loss = bench.bench_training(
             batch=batch, attn_packing=pack, compute_dtype=dt,
             n_windows=args.n_windows, epochs_timed=args.epochs_timed,
-            dropout=drop, accum_chunks=accum)
+            dropout=drop, accum_chunks=accum, fused_attention=bool(fused))
         row = {"batch": batch, "attn_packing": pack, "dtype": dt,
-               "dropout": drop, "accum_chunks": accum,
+               "dropout": drop, "accum_chunks": accum, "fused": fused,
                "windows_per_sec_per_chip": round(rate, 1),
                "final_loss": round(loss, 4)}
         rows.append(row)

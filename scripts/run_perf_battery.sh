@@ -23,4 +23,10 @@ python scripts/bench_sweep.py --batches 16384 --packings 8 --accums 1 4 \
 python scripts/bench_sweep.py --batches 4096 --packings 8 --dropout 0.1 0.0 \
     --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
 
+# 4. fused Pallas attention A/B (ONLY after scripts/attn_kernel_check.py has
+#    passed on this chip — a faulting kernel takes the whole TPU worker down)
+python scripts/attn_kernel_check.py && \
+python scripts/bench_sweep.py --batches 4096 --packings 8 16 --fused 0 1 \
+    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+
 echo BATTERY DONE

@@ -49,6 +49,9 @@ def main():
     p.add_argument("--attn_packing", type=int, default=1,
                    help="Pack P windows per attention call (block-diag mask; "
                         "math-identical, big MXU win for small windows)")
+    p.add_argument("--fused_attention", action="store_true",
+                   help="Pallas fused attention core (VMEM-resident logits; "
+                        "same param tree, flash-style custom VJP)")
     p.add_argument("--prng", type=str, default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    help="PRNG impl; rbg is ~25%% faster on TPU (dropout masks)")
@@ -83,6 +86,7 @@ def main():
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
+        fused_attention=args.fused_attention,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
