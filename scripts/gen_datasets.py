@@ -68,17 +68,26 @@ def gen_raw_actions(root: str, files_per_action: int = 3, T: int = 420,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", type=str, default="data")
-    p.add_argument("--n_sequences", type=int, default=1140)
+    # 64 long sequences (~6.2k frames each): real mocap corpora (the
+    # reference's LAFAN G1 set) are few LONG takes with recurring cycles, not
+    # many short independent clips. A 1140x~360-frame variant measured 20x
+    # harder (val_recon plateau 0.08 vs the noise-floor-limited ~3e-3 here)
+    # because its window manifold exceeds the one-token quantizer capacity.
+    p.add_argument("--n_sequences", type=int, default=64)
+    p.add_argument("--min_len", type=int, default=6000)
+    p.add_argument("--max_len", type=int, default=6400)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     a = generate_synthetic_dataset(
         os.path.join(args.root, "dense_w10"), n_sequences=args.n_sequences,
-        window=10, step=1, seed=args.seed)
+        min_len=args.min_len, max_len=args.max_len, window=10, step=1,
+        seed=args.seed)
     print(f"dense_w10: {a['g1_train.npy'].shape} windows")
     a = generate_synthetic_dataset(
         os.path.join(args.root, "dense_w64"), n_sequences=args.n_sequences,
-        window=64, step=6, seed=args.seed)
+        min_len=args.min_len, max_len=args.max_len, window=64, step=6,
+        seed=args.seed)
     print(f"dense_w64: {a['g1_train.npy'].shape} windows")
     gen_raw_actions(os.path.join(args.root, "raw_actions"))
 
