@@ -24,9 +24,11 @@ python scripts/bench_sweep.py --batches 4096 --packings 8 --dropout 0.1 0.0 \
     --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
 
 # 4. fused Pallas attention A/B (ONLY after scripts/attn_kernel_check.py has
-#    passed on this chip — a faulting kernel takes the whole TPU worker down)
+#    passed on this chip — a faulting kernel takes the whole TPU worker down).
+#    Swept across the whole batch curve: the kernel's value claim is removing
+#    the HBM logits traffic, which is exactly what makes big batches sublinear.
 python scripts/attn_kernel_check.py && \
-python scripts/bench_sweep.py --batches 4096 --packings 8 16 --fused 0 1 \
-    --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
+python scripts/bench_sweep.py --batches 4096 8192 16384 --packings 8 16 \
+    --fused 0 1 --epochs_timed 4 2>>perf_battery.md | tee -a perf_battery.log
 
 echo BATTERY DONE
