@@ -63,6 +63,14 @@ def _best(metrics: Dict[str, List[list]], key: str) -> Optional[float]:
     return float(np.mean([np.min(s) for s in metrics[key]]))
 
 
+def _student_bucket(data: Dict) -> Dict[str, List[list]]:
+    """The flagship student's aggregated logs, whichever naming family the
+    run used (id-style `transformer_hybrid_student` wins the tie; both
+    families hold identical histories when the trainer wrote twin logs)."""
+    return (data.get("transformer_hybrid_student")
+            or data.get("Exp_transformer_W10_student") or {})
+
+
 def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
     data = load_and_aggregate(log_dir)
     crits: List[Criterion] = []
@@ -129,11 +137,13 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
         ("transformer_hybrid", "val_align", 1e-2, "transformer+hybrid W10 student (ref 4.0e-3)"),
     ]
     for i, (exp_id, key, thr, label) in enumerate(targets):
-        v = _best(data.get(exp_id, {}), key)
-        # student logs live under the same id when trained via the id-style
-        # name; also check the mode-style id
-        if v is None and key == "val_align":
-            v = _best(data.get("Exp_transformer_W10_student", {}), key)
+        # val_align must come from STUDENT runs only: teacher logs also carry
+        # a val_align column (the untrained human branch, O(1)-large), so the
+        # student families are consulted exclusively for that criterion
+        if key == "val_align":
+            v = _best(_student_bucket(data), key)
+        else:
+            v = _best(data.get(exp_id, {}), key)
         if v is None:
             crits.append(Criterion(f"C6.{i+1}", f"{label}: best {key} < {thr:g}",
                                    None, "run missing"))
@@ -144,7 +154,7 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
     # ---- C8: retargeting closes the loop — the student's cross-recon
     # (human -> robot decoder vs robot GT) must land in the teacher's recon
     # class (reference: cross 0.0127 vs recon 0.0120, ~1.06x) ----
-    stud = data.get("Exp_transformer_W10_student", {})
+    stud = _student_bucket(data)
     cross = _best(stud, "val_cross_recon")
     t_recon = _best(data.get("transformer_hybrid", {}), "val_recon")
     if cross is None or t_recon is None:

@@ -62,7 +62,7 @@ RADAR_METRICS_MAP = {
 }
 
 ALL_METRICS = [
-    "val_recon", "val_vel", "val_jerk", "val_align",
+    "val_recon", "val_cross_recon", "val_vel", "val_jerk", "val_align",
     "perplexity", "dcr", "rvq_ppl",
     "train_loss", "train_recon_loss", "train_vq_loss",
 ]
