@@ -19,6 +19,16 @@ softmax and PV product; dropout differs only in mask SAMPLING (per-row
 hardware PRNG instead of threefry with broadcast_dropout) — same Bernoulli
 keep probability and 1/keep scaling, deterministic given the integer seed.
 
+MEASURED (v5e, full train step, perf_battery round 2): isolated attention
+fwd+bwd is 1.23x faster than flax at flagship shapes, but the END-TO-END
+step is 23% SLOWER at the flagship config (102.5k vs 132.7k windows/s at
+batch 4096 / pack 8) — XLA's fused unpacked path pipelines better than this
+kernel's per-row serial matmuls at S=80. The kernel only wins at pack 16
+with big batches (+18% at 8192, +15% at 16384), configs that are themselves
+dominated by 4096/pack8. Hence `fused_attention` defaults to OFF; the flag
+and the hardware gate (scripts/attn_kernel_check.py) stay for larger-window
+retraining regimes where S growth flips the balance.
+
 Replaces the reference's torch F.multi_head_attention path
 (models/vqvae.py:437, 475) on the TPU hot path.
 """
