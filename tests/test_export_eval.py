@@ -180,3 +180,19 @@ def test_parity_detects_ordering(tmp_path):
     crits = {c.cid: c for c in evaluate_parity(str(tmp_path))}
     assert crits["C1"].passed and crits["C2"].passed
     assert crits["C3"].passed and crits["C4"].passed
+
+
+def test_latex_student_sourced_cross_align(tmp_path):
+    """Cross/Align columns come from the student log family when present
+    (teacher logs carry untrained-human-branch noise for those keys)."""
+    _fake_logs(str(tmp_path), "simple_ema", seeds=(42,))
+    stud = {"val_cross_recon": [0.007] * 6, "val_align": [0.003] * 6}
+    with open(os.path.join(tmp_path, "log_simple_ema_student_seed_42.json"), "w") as f:
+        json.dump(stud, f)
+    table = generate_latex(str(tmp_path))
+    row = next(l for l in table.splitlines() if "Baseline(Simple)" in l)
+    assert "0.0070" in row and "0.0030" in row      # student-sourced
+    assert "0.0500" not in row                       # teacher val_cross tail mean
+    # teacher-sourced columns unchanged
+    expected = np.mean([0.5 / k for k in range(8, 13)])
+    assert f"{expected:.4f}" in row
