@@ -15,7 +15,7 @@ for am in "simple ema" "resnet ema" "resnet rvq" "resnet fsq" "resnet lfq" "resn
   for s in 42 1024; do
     [ -f results/log_${1}_${2}_student_seed_${s}.json ] && continue
     python scripts/train_ablation.py --arch $1 --method $2 --window 64 \
-        --data_dir data/dense_w64 --mode student --epochs 200 --batch_size 512 \
+        --data_dir data/dense_w64 --mode student --epochs 120 --batch_size 1024 \
         --patience 20 --seed $s \
         --teacher_ckpt checkpoints/Exp_${1}_W64_${2}_teacher_seed_${s}_best.ckpt \
         || echo "GRID STUDENT ${1}_${2} seed $s FAILED"
