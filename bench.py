@@ -2,8 +2,12 @@
 
 Fills the reference's empty scripts/run_benchmark.py niche. Measures the
 north-star metric from BASELINE.md: windows/sec/chip for W=10, 29-DoF teacher
-training of the flagship transformer+hybrid model, batch 4096, dataset
-HBM-resident, whole epoch as one XLA program.
+training of the flagship transformer+hybrid model, dataset HBM-resident,
+whole epoch as one XLA program. Headline config (perf battery round 2):
+global batch 16384 at the compute-optimal microbatch 512 (gradient
+accumulation, one AdamW step per global batch), attention packing 8, bf16
+compute, rbg PRNG — the measured optimum of the batch x microbatch x packing
+x dtype x PRNG x fused-attention sweep recorded in perf_battery.md.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/50000}
@@ -91,18 +95,21 @@ def main():
     from bridgerl_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    rate, loss = bench_training(compute_dtype="bfloat16")
+    rate, loss = bench_training(compute_dtype="bfloat16", batch=16384,
+                                accum_chunks=32)
     if "--no_f32" in sys.argv:
         rate_f32, loss_f32 = -1.0, float("nan")
     else:
-        rate_f32, loss_f32 = bench_training(compute_dtype="float32", epochs_timed=4)
+        rate_f32, loss_f32 = bench_training(compute_dtype="float32",
+                                            batch=16384, accum_chunks=32,
+                                            epochs_timed=4)
     try:
         replay_sps = bench_replay()
     except Exception as e:  # keep the primary metric robust
         replay_sps = -1.0
         print(f"[bench] replay bench failed: {e}", file=sys.stderr)
     result = {
-        "metric": "W10 VQ-VAE training windows/sec/chip (transformer+hybrid teacher, batch 4096)",
+        "metric": "W10 VQ-VAE training windows/sec/chip (transformer+hybrid teacher, batch 16384 @ microbatch 512)",
         "value": round(rate, 1),
         "unit": "windows/sec/chip",
         "vs_baseline": round(rate / BASELINE_WINDOWS_PER_SEC_PER_CHIP, 3),
