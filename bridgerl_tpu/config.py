@@ -189,6 +189,14 @@ class ExperimentConfig:
         return cls.from_dict(json.loads(s))
 
 
+# Window each arch family's bare registry id refers to (every shipped
+# artifact follows this: simple/resnet grid at W64, resnet_no_down anchor and
+# transformer flagship at W10 — reference README.md:139-145, 294-322).
+_CANONICAL_WINDOW: Dict[str, int] = {
+    "simple": 64, "resnet": 64, "resnet_no_down": 10, "transformer": 10,
+}
+
+
 def make_experiment(
     arch: str,
     method: str,
@@ -214,8 +222,15 @@ def make_experiment(
         raise TypeError(f"Unknown config overrides: {sorted(other)}")
     model = ModelConfig(arch=arch, method=method, window_size=window, **model_over)
     train = TrainConfig(mode=mode, seeds=tuple(seeds), **train_over)
+    # The bare "{arch}_{method}" id is the reference's registry contract, but
+    # it is window-less: training the same arch+method at a second window
+    # would silently overwrite the first family's id-style logs (measured
+    # hazard: a W64 transformer probe clobbered the W10 flagship logs).
+    # Non-canonical windows therefore get a window-qualified id.
+    canonical = _CANONICAL_WINDOW.get(arch, 64)
+    default_id = f"{arch}_{method}" + ("" if window == canonical else f"_W{window}")
     return ExperimentConfig(
-        id=exp_id or f"{arch}_{method}",
+        id=exp_id or default_id,
         name=name or f"Exp_{arch}_W{window}",
         model=model,
         train=train,
