@@ -54,11 +54,11 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| batch | pack | dtype | dropout | accum | windows/s/chip |", file=sys.stderr)
-    print("|---|---|---|---|---|---|", file=sys.stderr)
+    print("\n| batch | pack | dtype | dropout | accum | fused | windows/s/chip |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
         print(f"| {r['batch']} | {r['attn_packing']} | {r['dtype']} | "
-              f"{r['dropout']} | {r['accum_chunks']} | "
+              f"{r['dropout']} | {r['accum_chunks']} | {r['fused']} | "
               f"{r['windows_per_sec_per_chip']:,.0f} |",
               file=sys.stderr)
 
