@@ -69,7 +69,11 @@ def _sha256(path: str) -> str:
 
 
 def _check_schema(path: str, errors: List[str]) -> None:
-    with np.load(path, allow_pickle=True) as data:
+    # allow_pickle=False: the raw tree is untrusted downloaded content and the
+    # schema only admits plain float arrays — a pickled (object) entry must be
+    # rejected, not executed. np.load raises on object arrays without pickle;
+    # that is the correct outcome for this gate.
+    with np.load(path, allow_pickle=False) as data:
         for key in DATASET["keys"]:
             if key not in data:
                 errors.append(f"{path}: missing key {key!r}")
@@ -116,10 +120,17 @@ def verify_tree(root: str) -> VerifyReport:
             known = json.load(f)
 
     updated = dict(known)
+    present = set()
     for path in files:
         rel = os.path.relpath(path, root)
+        present.add(rel)
         report.checked += 1
-        _check_schema(path, report.errors)
+        try:
+            _check_schema(path, report.errors)
+        except (ValueError, OSError) as e:
+            # np.load(allow_pickle=False) raises on object/pickled entries —
+            # untrusted content that must be rejected, not executed
+            report.errors.append(f"{rel}: unreadable without pickle ({e})")
         digest = _sha256(path)
         if rel in known:
             if known[rel] != digest:
@@ -127,6 +138,11 @@ def verify_tree(root: str) -> VerifyReport:
         else:
             updated[rel] = digest
             report.recorded += 1
+
+    # files recorded in the manifest but gone from the tree: a partial
+    # re-extraction silently shrinking the training set is an error
+    for rel in sorted(set(known) - present):
+        report.errors.append(f"{rel}: in manifest but missing from tree")
 
     report.ok = not report.errors
     if report.ok and updated != known:

@@ -64,6 +64,30 @@ def test_verify_rejects_quat_form(tmp_path):
     assert not r.ok
 
 
+def test_verify_rejects_pickled_entries(tmp_path):
+    """Object (pickled) arrays in an untrusted npz are REJECTED without being
+    unpickled — verify_tree loads with allow_pickle=False (round-2 ADVICE)."""
+    root = str(tmp_path / "raw")
+    d = os.path.join(root, "train_evil")
+    os.makedirs(d)
+    np.savez(os.path.join(d, "evil.npz"),
+             joint_pos=np.array([{"pwned": True}], dtype=object),
+             smplx_pose_body=np.zeros((50, 21, 3), np.float32))
+    r = verify_tree(root)
+    assert not r.ok
+    assert any("pickle" in e for e in r.errors)
+
+
+def test_verify_detects_deleted_files(raw_tree):
+    """Files recorded in the manifest but gone from the tree are errors —
+    a partial re-extraction cannot silently shrink the training set."""
+    assert verify_tree(raw_tree).ok
+    os.remove(candidate_files(raw_tree)[0])
+    r = verify_tree(raw_tree)
+    assert not r.ok
+    assert any("missing from tree" in e for e in r.errors)
+
+
 def test_fixture_pipeline_artifact_contract(raw_tree, tmp_path):
     """process_paired_data on the schema fixture emits the exact artifact set
     with contract shapes/dtypes/stat formulas."""
