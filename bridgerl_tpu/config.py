@@ -52,6 +52,12 @@ class ModelConfig:
     fused_attention: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
+    # Opt-in FSQ bounding (Mentzer et al. 2023 tanh-squash to exactly
+    # prod(levels) codes). The reference rounds the UNBOUNDED projection
+    # (vqvae.py:118-122) whose spread is a learned equilibrium — measured at
+    # 2.8-4.6x nominal here vs the reference's 1.36x (diag_fsq_spread.py);
+    # bounded=True guarantees unique/nominal <= 1.0.
+    fsq_bounded: bool = False
     lfq_dim: int = 10
     commitment_cost: float = 0.25
     ema_decay: float = 0.99
@@ -211,7 +217,12 @@ def make_experiment(
     """Build an ExperimentConfig with the reference's derived names.
 
     Mirrors the CLI->config assembly of reference scripts/train_ablation.py:399-418:
-    id = "{arch}_{method}", name = "Exp_{arch}_W{window}".
+    name = "Exp_{arch}_W{window}"; id = "{arch}_{method}" WHEN the window is the
+    arch family's canonical one (_CANONICAL_WINDOW: simple/resnet=64,
+    resnet_no_down/transformer=10), else "{arch}_{method}_W{window}" — the bare
+    reference id is window-less and a second window would silently overwrite
+    the first family's logs (measured hazard; see comment below). Callers that
+    need the reference's literal id at a non-canonical window can pass exp_id.
     """
     model_keys = {f.name for f in dataclasses.fields(ModelConfig)}
     train_keys = {f.name for f in dataclasses.fields(TrainConfig)}

@@ -276,11 +276,15 @@ class TransformerStack(nn.Module):
             dropout: float
             dtype: Any
             train: bool
+            torch_init: bool
+            fused_attention: bool
 
             @nn.compact
             def __call__(self, carry, mask):
                 out = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
                                        dropout=self.dropout, dtype=self.dtype,
+                                       torch_init=self.torch_init,
+                                       fused_attention=self.fused_attention,
                                        name="block")(carry, train=self.train, mask=mask)
                 return out, None
 
@@ -292,7 +296,8 @@ class TransformerStack(nn.Module):
             in_axes=(nn.broadcast,),
         )
         h, _ = ScanBody(self.d_model, self.n_heads, self.ff_dim,
-                        self.dropout, self.dtype, train, name="layers")(h, mask)
+                        self.dropout, self.dtype, train, self.torch_init,
+                        self.fused_attention, name="layers")(h, mask)
         return h
 
 
@@ -328,7 +333,9 @@ class TransformerMotionEncoder(nn.Module):
         if self.scan_layers:
             h = TransformerStack(self.num_layers, self.d_model, self.n_heads,
                                  self.ff_dim, dropout=self.dropout, dtype=self.dtype,
-                                 scan=True, name="stack")(h, train=train, mask=mask)
+                                 scan=True, torch_init=self.torch_init,
+                                 fused_attention=self.fused_attention,
+                                 name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,
@@ -375,7 +382,9 @@ class TransformerMotionDecoder(nn.Module):
         if self.scan_layers:
             h = TransformerStack(self.num_layers, self.d_model, self.n_heads,
                                  self.ff_dim, dropout=self.dropout, dtype=self.dtype,
-                                 scan=True, name="stack")(h, train=train, mask=mask)
+                                 scan=True, torch_init=self.torch_init,
+                                 fused_attention=self.fused_attention,
+                                 name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
                 h = TransformerBlock(self.d_model, self.n_heads, self.ff_dim,

@@ -86,8 +86,12 @@ def test_teacher_training_reduces_loss(tiny_data, tmp_path):
     assert len(history["train_loss"]) == 5
     assert history["train_loss"][-1] < history["train_loss"][0]
     assert all(np.isfinite(history["val_recon"]))
-    # full schema written
-    assert len(history["val_cross_recon"]) == 5
+    # robot-branch schema written; human-branch metrics (val_align /
+    # val_cross_recon) are GATED OUT of teacher histories — the untrained
+    # human encoder would log O(1e6) noise (round-2 VERDICT weak #5; the
+    # reference's shipped teacher logs also carry no align/cross values)
+    assert history["val_cross_recon"] == []
+    assert history["val_align"] == []
     assert len(history["val_vel"]) == 5
     assert len(history["perplexity"]) == 5
     # artifacts on disk with reference-style names
@@ -186,12 +190,72 @@ def test_multiseed_student_requires_teacher(tiny_data, tmp_path):
         MultiSeedTrainer(exp, verbose=False).run(tiny_data)
 
 
-def test_multiseed_rejects_resume(tiny_data, tmp_path):
+def test_multiseed_resume_continues(tiny_data, tmp_path):
+    """Kill/resume parity for the vmapped path (round-2 VERDICT item 4): a
+    second run with --resume picks up from the per-seed `_last` checkpoints
+    written during the epoch loop and extends the same histories."""
+    import dataclasses
     from bridgerl_tpu.train import MultiSeedTrainer
 
-    exp = small_exp(str(tmp_path), mode="teacher", seeds=(42, 43), resume=True)
-    with pytest.raises(ValueError, match="resume"):
-        MultiSeedTrainer(exp, verbose=False).run(tiny_data)
+    exp = small_exp(str(tmp_path), mode="teacher", seeds=(42, 43), epochs=2)
+    h1 = MultiSeedTrainer(exp, verbose=False).run(tiny_data)
+    ck = load_checkpoint(os.path.join(
+        exp.checkpoint_dir, exp.ckpt_name(43, "last") + ".ckpt"))
+    assert ck["epoch"] == 1
+
+    exp2 = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, epochs=4, resume=True))
+    h2 = MultiSeedTrainer(exp2, verbose=False).run(tiny_data)
+    for s in (42, 43):
+        assert len(h2[s]["train_loss"]) == 4  # 2 resumed + 2 new
+        assert h2[s]["train_loss"][:2] == pytest.approx(h1[s]["train_loss"], rel=1e-6)
+
+
+def test_multiseed_partial_resume_rejected(tiny_data, tmp_path):
+    import dataclasses
+    from bridgerl_tpu.train import MultiSeedTrainer
+
+    exp = small_exp(str(tmp_path), mode="teacher", seeds=(42,), epochs=1)
+    MultiSeedTrainer(exp, verbose=False).run(tiny_data)  # writes seed-42 _last
+    exp2 = small_exp(str(tmp_path), mode="teacher", seeds=(42, 43), resume=True)
+    exp2 = dataclasses.replace(
+        exp2, train=dataclasses.replace(exp2.train, resume=True))
+    with pytest.raises(ValueError, match="partial multiseed resume"):
+        MultiSeedTrainer(exp2, verbose=False).run(tiny_data)
+
+
+def test_multiseed_per_seed_teacher_pairing(tiny_data, tmp_path):
+    """A `{seed}` placeholder in teacher_ckpt pairs each student seed with its
+    OWN teacher checkpoint (reference scripts/train_ablation.py:152-180)."""
+    from bridgerl_tpu.train.multiseed import init_states_vmapped
+    from bridgerl_tpu.train.checkpoint import load_checkpoint, restore_variables
+
+    t_exp = small_exp(str(tmp_path), mode="teacher", seeds=(42, 43), epochs=1)
+    from bridgerl_tpu.train import MultiSeedTrainer
+    MultiSeedTrainer(t_exp, verbose=False).run(tiny_data)
+    pattern = os.path.join(
+        t_exp.checkpoint_dir, t_exp.ckpt_name(0, "best").replace("_seed_0", "_seed_{seed}") + ".ckpt")
+
+    s_exp = small_exp(str(tmp_path), mode="student", seeds=(42, 43),
+                      teacher_ckpt=pattern)
+    states = init_states_vmapped(s_exp, [42, 43])
+
+    _, template = init_model(s_exp.model, jax.random.key(0))
+
+    def first_kernel(tree):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if getattr(path[-1], "key", "") == "kernel":
+                return np.asarray(leaf)
+        raise AssertionError("no kernel leaf")
+
+    s_leaves = first_kernel(states.params["robot_encoder"])
+    for i, seed in enumerate((42, 43)):
+        tpath = pattern.format(seed=seed)
+        teacher = restore_variables(template, load_checkpoint(tpath)["variables"])
+        np.testing.assert_allclose(
+            s_leaves[i], first_kernel(teacher["params"]["robot_encoder"]), rtol=1e-6)
+    # the two teachers differ, so the paired robot towers must differ too
+    assert not np.allclose(s_leaves[0], s_leaves[1])
 
 
 def test_multiseed_student_merges_teacher_into_every_seed(tiny_data, tmp_path):
