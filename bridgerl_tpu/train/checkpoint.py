@@ -84,6 +84,15 @@ def restore_opt_state(template: Any, state_dict: Dict[str, Any]) -> Any:
 
 # ---- teacher -> student transfer ----
 
+def resolve_teacher_ckpt(pattern: str, seed: int) -> str:
+    """Per-seed teacher pairing: a literal path is shared by every seed; a
+    pattern containing ``{seed}`` resolves per seed — the reference pairs each
+    student run with its own seed's teacher checkpoint
+    (scripts/train_ablation.py:152-180)."""
+    return pattern.format(seed=seed) if "{seed}" in pattern else pattern
+
+
+
 def is_human_encoder_path(path: Tuple) -> bool:
     return any(getattr(k, "key", getattr(k, "name", None)) == "human_encoder" for k in path)
 
