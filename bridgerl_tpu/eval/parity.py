@@ -9,7 +9,9 @@ zoo (round-2 VERDICT item 1):
   C1 cross-method recon ordering: hybrid/rvq << fsq <= ema <= simple
      (reference table README.md:344-362: 0.0120/0.0124 << 0.0317 < 0.0355
      < 0.0457)
-  C2 FSQ and hybrid report DCR ~= 0 (both 0.0 in the reference table)
+  C2 FSQ and hybrid unique-code spread in the reference class: the logged
+     DCR (= 1 - unique/nominal) must satisfy 0.5 <= unique/nominal <= 2.0,
+     two-sided (reference: DCR 0.0, unique ~1.36x nominal, README.md:356)
   C3 hybrid PPL approaches the FSQ implicit-codebook capacity class
      (reference: 1096.8 of prod(8,5,5,5)=1000 nominal; PPL is the
      unique-code-count proxy, which can exceed the nominal size)
@@ -26,6 +28,11 @@ zoo (round-2 VERDICT item 1):
   C7 flagship PPL stability: every flagship teacher seed ends with FSQ
      PPL > 200 (the round-1 seed-1024 collapse pinned it at 1.0; the
      reference is stable at 1096.8 +- 0.3 across seeds)
+  C8 student cross-recon within 3x of teacher recon (ref ~1.06x)
+  C9 LFQ learns: PPL >= 100 of 1024 (ref 164.2) and recon <= 8x the best
+     method (ref 4.8x) — round-2 collapse criteria, fail until fixed
+  C10 W64-era transformer teacher val_recon < 5.5e-2 (BASELINE row 5,
+      ref 2.75e-2, threshold scaled 2x like C6)
 
 Each criterion is computed from `results/log_*.json` by `evaluate_parity` and
 rendered into PARITY.md by scripts/check_parity.py.
@@ -92,17 +99,25 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
             f"hybrid={hybrid:.4g} rvq={rvq:.4g} fsq={fsq:.4g} "
             f"ema={ema:.4g} simple={simple:.4g}"))
 
-    # ---- C2: FSQ + hybrid DCR ~ 0 ----
+    # ---- C2: FSQ + hybrid unique-code spread in the reference class ----
     dcr_f = _final(data.get("resnet_fsq", {}), "dcr")
     dcr_h = _final(data.get("resnet_hybrid", {}), "dcr")
     if dcr_f is None or dcr_h is None:
-        crits.append(Criterion("C2", "FSQ & hybrid DCR ~= 0", None, "grid runs missing"))
+        crits.append(Criterion("C2", "FSQ & hybrid unique/nominal in [0.5, 2.0]",
+                               None, "grid runs missing"))
     else:
-        # DCR here is 1 - unique/nominal; the unbounded-round FSQ can exceed
-        # nominal capacity, so "~0" means < 0.15 (ref: 0.0 exactly at W10)
-        ok = dcr_f < 0.15 and dcr_h < 0.15
-        crits.append(Criterion("C2", "FSQ & hybrid DCR ~= 0", ok,
-                               f"fsq dcr={dcr_f:.4f} hybrid dcr={dcr_h:.4f}"))
+        # DCR is logged as 1 - unique/nominal; the unbounded-round FSQ can
+        # exceed nominal capacity, so assert a TWO-SIDED band on the ratio:
+        # the reference publishes DCR 0.0 with unique ~1.36x nominal
+        # (README.md:356). The round-2 one-sided `dcr < 0.15` let a 4.2-4.6x
+        # spread pass silently (VERDICT weak #2 / ADVICE) — this band fails
+        # until the latent spread is in the reference class.
+        r_f, r_h = 1.0 - dcr_f, 1.0 - dcr_h
+        ok = 0.5 <= r_f <= 2.0 and 0.5 <= r_h <= 2.0
+        crits.append(Criterion(
+            "C2", "FSQ & hybrid unique/nominal in [0.5, 2.0] (ref 1.36)", ok,
+            f"fsq ratio={r_f:.2f} hybrid ratio={r_h:.2f} "
+            f"(dcr {dcr_f:.2f}/{dcr_h:.2f})"))
 
     # ---- C3: hybrid PPL near FSQ capacity class ----
     ppl_h = _final(data.get("resnet_hybrid", {}), "perplexity")
@@ -164,6 +179,45 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
         crits.append(Criterion("C8", "student cross-recon within 3x of teacher recon",
                                cross <= 3.0 * t_recon,
                                f"cross={cross:.4g} vs teacher recon={t_recon:.4g}"))
+
+    # ---- C9: LFQ learns (round-2 VERDICT item 3) — the reference's LFQ is
+    # the worst quantizer but still trains: PPL 164.2±8.9 of 1024 and recon
+    # ~4.8x the best method (README.md:357). Round-2 runs collapsed to
+    # PPL 46 / recon 18.3x best; these criteria fail until LFQ is fixed. ----
+    lfq_ppl = _final(data.get("resnet_lfq", {}), "perplexity")
+    if lfq_ppl is None:
+        crits.append(Criterion("C9.1", "LFQ PPL >= 100 of 1024 (ref 164.2)",
+                               None, "lfq runs missing"))
+    else:
+        crits.append(Criterion("C9.1", "LFQ PPL >= 100 of 1024 (ref 164.2)",
+                               lfq_ppl >= 100.0, f"lfq ppl={lfq_ppl:.1f}"))
+    lfq_recon = _final(data.get("resnet_lfq", {}), "val_recon")
+    best_recon = None
+    cands = [recon(e) for e in ("resnet_hybrid", "resnet_rvq")]
+    cands = [c for c in cands if c is not None]
+    if cands:
+        best_recon = min(cands)
+    if lfq_recon is None or best_recon is None:
+        crits.append(Criterion("C9.2", "LFQ recon <= 8x best method (ref 4.8x)",
+                               None, "lfq/grid runs missing"))
+    else:
+        crits.append(Criterion("C9.2", "LFQ recon <= 8x best method (ref 4.8x)",
+                               lfq_recon <= 8.0 * best_recon,
+                               f"lfq={lfq_recon:.4g} vs best={best_recon:.4g} "
+                               f"({lfq_recon / best_recon:.1f}x)"))
+
+    # ---- C10: W64-era transformer teacher (BASELINE row 5; round-2 VERDICT
+    # item 8). Reference val_recon 2.75e-2; threshold scaled 2x to own-data
+    # difficulty like C6. ----
+    w64 = _best(data.get("transformer_hybrid_W64", {}), "val_recon")
+    if w64 is None:
+        crits.append(Criterion("C10", "transformer+hybrid W64 teacher: best "
+                               "val_recon < 5.5e-2 (ref 2.75e-2)",
+                               None, "W64 transformer runs missing"))
+    else:
+        crits.append(Criterion("C10", "transformer+hybrid W64 teacher: best "
+                               "val_recon < 5.5e-2 (ref 2.75e-2)",
+                               w64 < 5.5e-2, f"best val_recon={w64:.4g}"))
 
     # ---- C7: flagship PPL stability across seeds ----
     flag_ppl = data.get("transformer_hybrid", {}).get("perplexity", [])

@@ -208,12 +208,20 @@ class FSQ(nn.Module):
     STE, project back. Note: the reference rounds the *unbounded* projection
     (no tanh bounding), so the implicit codebook can exceed prod(levels); its
     PPL metric is the batch unique-code count and DCR may go negative (clamped
-    downstream). Reproduced faithfully.
+    downstream). Reproduced faithfully by default.
+
+    ``bounded=True`` is an opt-in deviation (round-2 VERDICT item 2): the
+    standard FSQ bounding (Mentzer et al. 2023) — per-level
+    ``tanh``-compression to exactly L integer values — which guarantees
+    unique/nominal <= 1.0 and a non-negative DCR. With the unbounded default
+    the learned projection scale sets the spread; measured drift to ~4.2x
+    nominal motivated this switch (scripts/diag_fsq_spread.py).
     """
 
     levels: Sequence[int]
     input_dim: int
     torch_init: bool = False
+    bounded: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
@@ -222,7 +230,17 @@ class FSQ(nn.Module):
         fsq_dim = len(self.levels)
         in_dtype = z.dtype
         zp = nn.Dense(fsq_dim, kernel_init=ki, name="project_in")(z.astype(jnp.float32))  # (B, T, fsq_dim)
-        z_hard = zp + jax.lax.stop_gradient(jnp.round(zp) - zp)
+        if self.bounded:
+            # Mentzer-style bound: tanh-squash each level to exactly L integer
+            # values. Even levels need a half-offset so round() hits L codes.
+            lv = jnp.asarray(self.levels, jnp.float32)
+            half = (lv - 1.0) / 2.0
+            offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
+            shift = jnp.arctanh(offset / jnp.maximum(half, 1e-6))
+            zb = jnp.tanh(zp + shift) * half - offset
+            z_hard = zb + jax.lax.stop_gradient(jnp.round(zb) - zb)
+        else:
+            z_hard = zp + jax.lax.stop_gradient(jnp.round(zp) - zp)
         out = nn.Dense(self.input_dim, kernel_init=ki, name="project_out")(z_hard).astype(in_dtype)
 
         basis = jnp.asarray(
@@ -286,11 +304,13 @@ class HybridVQ(nn.Module):
     num_quantizers: int = 4
     warm_start: bool = True
     torch_init: bool = False
+    fsq_bounded: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
         _, z_fsq, m_fsq = FSQ(levels=self.fsq_levels, input_dim=self.hidden_dim,
-                              torch_init=self.torch_init, name="fsq")(z, train=train)
+                              torch_init=self.torch_init,
+                              bounded=self.fsq_bounded, name="fsq")(z, train=train)
         residual = z - z_fsq
         loss_vq, z_vq, m_vq = ResidualVQ(
             num_quantizers=self.num_quantizers,
@@ -342,14 +362,17 @@ def make_quantizer(cfg) -> nn.Module:
                           embedding_dim=cfg.hidden_dim, use_ema=True, decay=cfg.ema_decay,
                           warm_start=ws)
     ti = getattr(cfg, "torch_init", False)
+    fb = getattr(cfg, "fsq_bounded", False)
     if m == "fsq":
-        return FSQ(levels=tuple(cfg.fsq_levels), input_dim=cfg.hidden_dim, torch_init=ti)
+        return FSQ(levels=tuple(cfg.fsq_levels), input_dim=cfg.hidden_dim,
+                   torch_init=ti, bounded=fb)
     if m == "lfq":
         return LFQ(input_dim=cfg.hidden_dim, codebook_dim=cfg.lfq_dim,
                    entropy_loss_weight=cfg.entropy_loss_weight, torch_init=ti)
     if m == "hybrid":
         return HybridVQ(hidden_dim=cfg.hidden_dim, fsq_levels=tuple(cfg.fsq_levels),
-                        vq_codebook_size=512, warm_start=ws, torch_init=ti)
+                        vq_codebook_size=512, warm_start=ws, torch_init=ti,
+                        fsq_bounded=fb)
     if m == "ae":
         return IdentityVQ()
     raise ValueError(f"Unknown quantization method: {m}")

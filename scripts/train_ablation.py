@@ -59,8 +59,24 @@ def main():
                    help="Flip all documented deviations to reference semantics "
                         "(channel-axis velocity diff, torch kernel inits, cold "
                         "EMA-state init) for A/B runs — see docs/REF_EXACT.md")
+    p.add_argument("--torch_init", action="store_true",
+                   help="Single-flag A/B arm: torch kaiming/xavier-uniform "
+                        "kernel inits only (docs/REF_EXACT.md deviation #3)")
+    p.add_argument("--cold_ema", action="store_true",
+                   help="Single-flag A/B arm: reference cold EMA-state init "
+                        "only (normal ema_w, zero cluster sizes; deviation #2)")
+    p.add_argument("--ref_exact_vel", action="store_true",
+                   help="Single-flag A/B arm: channel-axis velocity diff only "
+                        "(deviation #1)")
+    p.add_argument("--log_dir", type=str, default="results",
+                   help="History JSON directory (A/B arms redirect this)")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype (f32 master weights + codebook math)")
+    p.add_argument("--fsq_bounded", action="store_true",
+                   help="Opt-in Mentzer-style FSQ bounding (tanh-squash to "
+                        "exactly prod(levels) codes); the reference rounds the "
+                        "unbounded projection — see diag_fsq_spread.py")
     args = p.parse_args()
 
     if args.prng != "threefry2x32":
@@ -86,15 +102,33 @@ def main():
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
-        fused_attention=args.fused_attention,
+        fused_attention=args.fused_attention, fsq_bounded=args.fsq_bounded,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
+    import dataclasses as _dc
+    if args.log_dir != "results" or args.checkpoint_dir != "checkpoints":
+        exp = _dc.replace(exp, log_dir=args.log_dir, checkpoint_dir=args.checkpoint_dir)
     if args.ref_exact:
         from bridgerl_tpu.config import ref_exact
         exp = ref_exact(exp)
         print("!!! ref-exact mode: channel-axis velocity diff, torch inits, "
               "cold EMA init !!!")
+    else:
+        # single-flag arms for the factorized A/B (round-2 VERDICT item 1)
+        model_over, train_over = {}, {}
+        if args.torch_init:
+            model_over["torch_init"] = True
+        if args.cold_ema:
+            model_over["ema_warm_start"] = False
+        if args.ref_exact_vel:
+            train_over["ref_exact_vel"] = True
+        if model_over or train_over:
+            exp = _dc.replace(
+                exp,
+                model=_dc.replace(exp.model, **model_over),
+                train=_dc.replace(exp.train, **train_over))
+            print(f"!!! single-flag arm(s): {sorted({**model_over, **train_over})} !!!")
 
     mesh = make_mesh() if args.data_parallel and jax.device_count() > 1 else None
     if mesh is not None:

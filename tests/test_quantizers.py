@@ -189,6 +189,45 @@ def test_fsq_index_basis():
     assert len(set(idx.tolist())) == 12 and idx.max() == 11
 
 
+def test_fsq_bounded_stays_within_nominal_grid():
+    """bounded=True (opt-in, Mentzer-style tanh squash): every quantized level
+    takes one of exactly L integer values even for huge pre-round projections,
+    so unique/nominal <= 1.0 by construction (round-2 VERDICT item 2)."""
+    levels = (8, 5, 5, 5)
+    q = FSQ(levels=levels, input_dim=D, bounded=True)
+    z = _z() * 50.0  # force extreme projections
+    vs = q.init({"params": KEY}, z)
+    loss, out, m = q.apply(vs, z)
+    assert float(loss) == 0.0 and out.shape == z.shape
+
+    # recover the rounded values by re-applying project_in + bound
+    import numpy as _np
+    kin = _np.asarray(vs["params"]["project_in"]["kernel"])
+    bin_ = _np.asarray(vs["params"]["project_in"]["bias"])
+    zp = _np.asarray(z).reshape(-1, D) @ kin + bin_
+    lv = _np.asarray(levels, _np.float32)
+    half = (lv - 1.0) / 2.0
+    offset = _np.where(lv % 2 == 0, 0.5, 0.0)
+    shift = _np.arctanh(offset / half)
+    zb = _np.round(_np.tanh(zp + shift) * half - offset)
+    for d, L in enumerate(levels):
+        vals = _np.unique(zb[:, d])
+        assert len(vals) <= L, (d, vals)
+        lo = -(L // 2)
+        assert vals.min() >= lo and vals.max() <= lo + L - 1, (d, vals)
+    # nominal capacity is never exceeded
+    assert float(m["perplexity"]) <= float(_np.prod(levels))
+    assert float(m["dcr"]) >= 0.0
+
+    # gradients still flow through the tanh+round STE
+    def f(z):
+        _, out, _ = q.apply(vs, z)
+        return jnp.sum(out)
+
+    g = jax.grad(f)(_z())
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 # ---------- LFQ ----------
 
 def test_lfq_sign_quantization_and_entropy_loss_sign():
