@@ -155,6 +155,54 @@ def test_replay_rollout_matches_step(g1, rng):
     np.testing.assert_allclose(traj[3], ref, atol=1e-4)
 
 
+# ---------- URDF provenance (round-2 VERDICT item 9) ----------
+
+def test_spec_roundtrips_through_urdf(g1, tmp_path):
+    """Bundled spec -> chain_to_urdf -> parse -> build_chain reproduces the
+    chain exactly: the URDF->spec extraction path is lossless, so
+    scripts/extract_urdf_spec.py can verify the bundled JSON against any
+    vendor main.urdf."""
+    from bridgerl_tpu.sim.urdf import (
+        G1_JOINT_NAMES,
+        build_chain,
+        chain_to_urdf,
+        chains_equal,
+        parse_urdf_joints,
+    )
+
+    urdf_path = tmp_path / "g1_roundtrip.urdf"
+    urdf_path.write_text(chain_to_urdf(g1))
+    rebuilt = build_chain(parse_urdf_joints(str(urdf_path)), G1_JOINT_NAMES)
+    assert chains_equal(g1, rebuilt) == []
+
+
+def test_matrix_rpy_roundtrip(rng):
+    from bridgerl_tpu.sim.urdf import matrix_to_rpy, rpy_to_matrix
+
+    for _ in range(20):
+        rpy = rng.uniform(-np.pi, np.pi, 3)
+        rpy[1] = rng.uniform(-np.pi / 2 + 0.01, np.pi / 2 - 0.01)  # avoid gimbal
+        R = rpy_to_matrix(rpy)
+        R2 = rpy_to_matrix(matrix_to_rpy(R))
+        np.testing.assert_allclose(R, R2, atol=1e-5)
+    # gimbal case still reproduces the MATRIX (rpy itself is non-unique there)
+    R = rpy_to_matrix([0.3, np.pi / 2, 0.0])
+    np.testing.assert_allclose(R, rpy_to_matrix(matrix_to_rpy(R)), atol=1e-5)
+
+
+def test_vendor_urdf_matches_bundled_spec():
+    """Runs only when a vendor main.urdf is present (zero-egress images skip);
+    the committed spec must equal the fresh extraction."""
+    import os
+    cand = os.environ.get("G1_URDF_PATH", "assets/g1_local/urdf/g1/main.urdf")
+    if not os.path.exists(cand):
+        pytest.skip(f"no vendor URDF at {cand}")
+    from bridgerl_tpu.sim.urdf import (
+        G1_JOINT_NAMES, build_chain, chains_equal, load_g1_chain, parse_urdf_joints)
+    fresh = build_chain(parse_urdf_joints(cand), G1_JOINT_NAMES)
+    assert chains_equal(load_g1_chain(), fresh) == []
+
+
 # ---------- rendering ----------
 
 def test_render_frame_and_motion(g1, tmp_path, rng):
