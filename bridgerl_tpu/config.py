@@ -59,6 +59,10 @@ class ModelConfig:
     # bounded=True guarantees unique/nominal <= 1.0.
     fsq_bounded: bool = False
     lfq_dim: int = 10
+    # Opt-in LFQ pre-sign LayerNorm (no affine): stops the measured STE scale
+    # runaway that freezes the reference formulation at mean-prediction on
+    # this repo's data (scripts/diag_lfq.py; docs/REF_EXACT.md).
+    lfq_norm: bool = False
     commitment_cost: float = 0.25
     ema_decay: float = 0.99
     entropy_loss_weight: float = 0.1

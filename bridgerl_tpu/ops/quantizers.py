@@ -261,12 +261,22 @@ class LFQ(nn.Module):
 
     Project to `codebook_dim` bits, sign with STE, entropy regularization that
     *encourages* high per-bit entropy (loss = -mean(H) * weight).
+
+    ``norm=True`` is an opt-in deviation (round-2 VERDICT item 3): LayerNorm
+    (no affine) on the pre-sign projection. Measured failure mode of the
+    reference formulation at this repo's scale (scripts/diag_lfq.py): the STE
+    recon gradient inflates the pre-sign scale to |z_e| ~ O(1000) within ~8
+    epochs, the sigmoid saturates (entropy loss -> 0, gradient -> 0, no
+    revival force), sign flips stop, and train recon freezes at the data
+    variance (mean prediction). Normalizing the pre-sign activations keeps
+    every bit in the responsive region — the MagViT-2-family stabilization.
     """
 
     input_dim: int
     codebook_dim: int = 10
     entropy_loss_weight: float = 0.1
     torch_init: bool = False
+    norm: bool = False
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> QuantOut:
@@ -274,6 +284,8 @@ class LFQ(nn.Module):
         ki = dense_kinit(self.torch_init)
         in_dtype = z.dtype
         z_e = nn.Dense(self.codebook_dim, kernel_init=ki, name="project_in")(z.astype(jnp.float32))
+        if self.norm:
+            z_e = nn.LayerNorm(use_bias=False, use_scale=False, name="presign_norm")(z_e)
         z_sign = jnp.where(z_e > 0, 1.0, -1.0).astype(z_e.dtype)
         z_q = ste(z_e, z_sign)
 
@@ -368,7 +380,8 @@ def make_quantizer(cfg) -> nn.Module:
                    torch_init=ti, bounded=fb)
     if m == "lfq":
         return LFQ(input_dim=cfg.hidden_dim, codebook_dim=cfg.lfq_dim,
-                   entropy_loss_weight=cfg.entropy_loss_weight, torch_init=ti)
+                   entropy_loss_weight=cfg.entropy_loss_weight, torch_init=ti,
+                   norm=getattr(cfg, "lfq_norm", False))
     if m == "hybrid":
         return HybridVQ(hidden_dim=cfg.hidden_dim, fsq_levels=tuple(cfg.fsq_levels),
                         vq_codebook_size=512, warm_start=ws, torch_init=ti,

@@ -77,6 +77,11 @@ def main():
                    help="Opt-in Mentzer-style FSQ bounding (tanh-squash to "
                         "exactly prod(levels) codes); the reference rounds the "
                         "unbounded projection — see diag_fsq_spread.py")
+    p.add_argument("--lfq_norm", action="store_true",
+                   help="Opt-in LFQ pre-sign LayerNorm (stops the measured "
+                        "STE scale runaway — see diag_lfq.py)")
+    p.add_argument("--entropy_weight", type=float, default=0.1,
+                   help="LFQ entropy regularization weight (reference 0.1)")
     args = p.parse_args()
 
     if args.prng != "threefry2x32":
@@ -103,6 +108,7 @@ def main():
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention, fsq_bounded=args.fsq_bounded,
+        lfq_norm=args.lfq_norm, entropy_loss_weight=args.entropy_weight,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )

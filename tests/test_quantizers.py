@@ -241,6 +241,30 @@ def test_lfq_sign_quantization_and_entropy_loss_sign():
     assert 1.0 <= float(m["perplexity"]) <= 1024.0
 
 
+def test_lfq_norm_keeps_presign_responsive():
+    """norm=True (opt-in): LayerNorm on the pre-sign projection keeps the
+    entropy term alive even when the encoder output scale explodes — the
+    measured round-2 failure had |z_e| ~ O(1000), sigmoid saturated, entropy
+    loss = -0.000 (scripts/diag_lfq.py)."""
+    q_ref = LFQ(input_dim=D, codebook_dim=10)
+    q_norm = LFQ(input_dim=D, codebook_dim=10, norm=True)
+    z = _z() * 1000.0  # simulate the runaway scale
+    vs_ref = q_ref.init({"params": KEY}, z)
+    vs_norm = q_norm.init({"params": KEY}, z)
+    loss_ref, _, _ = q_ref.apply(vs_ref, z)
+    loss_norm, _, _ = q_norm.apply(vs_norm, z)
+    # saturated reference formulation: entropy ~ 0 -> loss ~ -0.0
+    assert abs(float(loss_ref)) < 1e-3
+    # normalized: entropy stays near the ln(2) ceiling -> loss strongly negative
+    assert float(loss_norm) < -0.03
+    # and the entropy gradient into z is alive only in the normed variant
+    def presign_entropy(q, vs, z):
+        loss, _, _ = q.apply(vs, z)
+        return loss
+    g_norm = jax.grad(lambda z: presign_entropy(q_norm, vs_norm, z))(z)
+    assert float(jnp.abs(g_norm).sum()) > 0
+
+
 # ---------- Hybrid ----------
 
 def test_hybrid_composition():
