@@ -30,7 +30,7 @@ BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
 def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                    n_windows=65536, epochs_timed=8, compute_dtype="bfloat16",
                    attn_packing=8, dropout=0.1, accum_chunks=1,
-                   fused_attention=False):
+                   fused_attention=False, cheap_dropout=False):
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.models import init_model
     from bridgerl_tpu.train import (
@@ -44,7 +44,8 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                           batch_size=batch, compute_dtype=compute_dtype,
                           attn_packing=attn_packing, dropout=dropout,
                           accum_chunks=accum_chunks,
-                          fused_attention=fused_attention)
+                          fused_attention=fused_attention,
+                          cheap_dropout=cheap_dropout)
     model, variables = init_model(exp.model, jax.random.key(0))
     params, rest = split_variables(variables)
     tx = make_optimizer(exp, params)
@@ -76,6 +77,54 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
     windows = epochs_timed * nb * batch
     n_chips = jax.device_count()
     return windows / dt / n_chips, float(logs["train_loss"])
+
+
+def bench_multiseed(arch="transformer", method="hybrid", window=10, batch=2048,
+                    seeds=(0, 1, 2, 3), n_windows=32768, epochs_timed=4,
+                    compute_dtype="bfloat16", attn_packing=8, dropout=0.1,
+                    hidden_dim=64, **model_over):
+    """Aggregate windows/sec/chip of the vmapped multiseed program: S seeds
+    train simultaneously in ONE XLA program sharing the HBM-resident dataset
+    (train/multiseed.py — the replacement for the reference's sequential seed
+    loop, scripts/train_ablation.py:427-437). Round-2 VERDICT item 5: this
+    path had tests but no measured throughput."""
+    from bridgerl_tpu.config import make_experiment
+    from bridgerl_tpu.train import make_train_epoch, make_optimizer
+    from bridgerl_tpu.train.multiseed import init_states_vmapped
+    from bridgerl_tpu.models import init_model
+
+    S = len(seeds)
+    exp = make_experiment(arch, method, window=window, mode="teacher",
+                          seeds=tuple(seeds), batch_size=batch,
+                          compute_dtype=compute_dtype, attn_packing=attn_packing,
+                          dropout=dropout, hidden_dim=hidden_dim, **model_over)
+    model, _ = init_model(exp.model, jax.random.key(0))
+    states = init_states_vmapped(exp, list(seeds))
+    tx = make_optimizer(exp, jax.tree_util.tree_map(lambda x: x[0], states.params))
+    epoch_fn = make_train_epoch(model, tx, exp, None, jit=False)
+    vm_epoch = jax.jit(jax.vmap(epoch_fn, in_axes=(0, None, None, 0, 0)),
+                       donate_argnums=(0,))
+
+    key = jax.random.key(1)
+    robot = jax.random.normal(key, (n_windows, window, 29), jnp.float32)
+    human = jax.random.normal(key, (n_windows, window, 126), jnp.float32)
+    nb = n_windows // batch
+    idx = jnp.broadcast_to(jnp.arange(nb * batch).reshape(1, nb, batch),
+                           (S, nb, batch))
+    keys = jnp.stack([jax.random.split(jax.random.key(3 + s), nb) for s in seeds])
+
+    for _ in range(2):
+        states, logs = vm_epoch(states, robot, human, idx, keys)
+        float(np.asarray(logs["train_loss"]).mean())  # hard sync
+
+    t0 = time.perf_counter()
+    for _ in range(epochs_timed):
+        states, logs = vm_epoch(states, robot, human, idx, keys)
+        float(np.asarray(logs["train_loss"]).mean())
+    dt = time.perf_counter() - t0
+
+    windows = epochs_timed * nb * batch * S
+    return windows / dt / jax.device_count()
 
 
 def bench_replay(frames: int = 20000) -> float:

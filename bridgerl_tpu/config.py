@@ -50,6 +50,11 @@ class ModelConfig:
     # only the attention_fn changes. Off-TPU (or with dropout active off-TPU)
     # falls back to the stock flax kernel.
     fused_attention: bool = False
+    # uint8-bit dropout masks (8 PRNG bits/element instead of 32; keep prob
+    # quantized to 1/256). Dropout-mask generation measured at ~11% of the
+    # flagship step even on rbg (perf_battery.md) — this recovers most of it.
+    # Same expectation/scaling semantics; param tree unchanged.
+    cheap_dropout: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     # Opt-in FSQ bounding (Mentzer et al. 2023 tanh-squash to exactly

@@ -199,6 +199,67 @@ class NoDownsampleDecoder(nn.Module):
                        kernel_init=dense_kinit(self.torch_init), name="out_conv")(h)
 
 
+class CheapDropout(nn.Module):
+    """Dropout whose mask comes from uint8 random bits instead of f32
+    uniforms: 8 PRNG bits/element instead of 32. The keep probability is
+    quantized to 1/256 granularity (rate 0.1 -> 26/256 = 0.1016), and the
+    kept activations are rescaled by the exact quantized rate, so E[out] = x
+    still holds. Measured motivation: dropout-mask generation costs ~11% of
+    the flagship step at the headline config even on the rbg PRNG
+    (perf_battery.md: 222.3k -> 247.3k windows/s with dropout off)."""
+
+    rate: float
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.deterministic or self.rate <= 0.0:
+            return x
+        thresh = int(round(self.rate * 256.0))
+        if thresh <= 0:
+            return x
+        q_rate = thresh / 256.0
+        key = self.make_rng("dropout")
+        bits = jax.random.bits(key, x.shape, dtype=jnp.uint8)
+        keep = bits >= jnp.uint8(thresh)
+        return jnp.where(keep, x / jnp.asarray(1.0 - q_rate, x.dtype),
+                         jnp.zeros((), x.dtype))
+
+
+def cheap_attn_dropout_fn(query, key, value, bias=None, mask=None,
+                          broadcast_dropout=True, dropout_rng=None,
+                          dropout_rate=0.0, deterministic=False, dtype=None,
+                          precision=None, module=None, **kwargs):
+    """attention_fn for nn.MultiHeadDotProductAttention that applies the
+    attention-probability dropout with uint8 bits (same quantized-rate scheme
+    as CheapDropout). Softmax/scores math is stock jax."""
+    del module, kwargs
+    depth = query.shape[-1]
+    q = query / jnp.sqrt(depth).astype(query.dtype)
+    weights = jnp.einsum("...qhd,...khd->...hqk", q, key,
+                         precision=precision)
+    if bias is not None:
+        weights = weights + bias
+    if mask is not None:
+        weights = jnp.where(mask, weights, jnp.finfo(weights.dtype).min)
+    weights = jax.nn.softmax(weights.astype(jnp.float32)).astype(weights.dtype)
+    if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
+        thresh = int(round(dropout_rate * 256.0))
+        if thresh > 0:
+            q_rate = thresh / 256.0
+            if broadcast_dropout and weights.ndim >= 4:
+                shape = (1,) * (weights.ndim - 3) + weights.shape[-3:]
+            else:
+                shape = weights.shape
+            bits = jax.random.bits(dropout_rng, shape, dtype=jnp.uint8)
+            keep = bits >= jnp.uint8(thresh)
+            weights = jnp.where(
+                keep, weights / jnp.asarray(1.0 - q_rate, weights.dtype),
+                jnp.zeros((), weights.dtype))
+    return jnp.einsum("...hqk,...khd->...qhd", weights, value,
+                      precision=precision)
+
+
 class TransformerBlock(nn.Module):
     """Post-LN transformer encoder layer (torch nn.TransformerEncoderLayer
     defaults: relu FF, dropout 0.1, norm after residual — vqvae.py:437)."""
@@ -210,6 +271,7 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.float32
     torch_init: bool = False
     fused_attention: bool = False
+    cheap_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -218,6 +280,14 @@ class TransformerBlock(nn.Module):
         if self.fused_attention:
             from ..ops.pallas.attention import fused_attention_fn
             attn_kwargs["attention_fn"] = fused_attention_fn
+        elif self.cheap_dropout:
+            attn_kwargs["attention_fn"] = cheap_attn_dropout_fn
+
+        def drop(rate):
+            if self.cheap_dropout:
+                return CheapDropout(rate, deterministic=not train)
+            return nn.Dropout(rate, deterministic=not train)
+
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads,
             qkv_features=self.d_model,
@@ -228,12 +298,12 @@ class TransformerBlock(nn.Module):
             name="self_attn",
             **attn_kwargs,
         )(x, x, mask=mask)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + drop(self.dropout)(attn))
         h = nn.Dense(self.ff_dim, dtype=self.dtype, kernel_init=ki, name="ff1")(x)
         h = nn.relu(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = drop(self.dropout)(h)
         h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=ki, name="ff2")(h)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout, deterministic=not train)(h))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + drop(self.dropout)(h))
         return x
 
 
@@ -257,6 +327,7 @@ class TransformerStack(nn.Module):
     scan: bool = False
     torch_init: bool = False
     fused_attention: bool = False
+    cheap_dropout: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -266,6 +337,7 @@ class TransformerStack(nn.Module):
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
+                                     cheap_dropout=self.cheap_dropout,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
             return h
 
@@ -278,6 +350,7 @@ class TransformerStack(nn.Module):
             train: bool
             torch_init: bool
             fused_attention: bool
+            cheap_dropout: bool
 
             @nn.compact
             def __call__(self, carry, mask):
@@ -285,6 +358,7 @@ class TransformerStack(nn.Module):
                                        dropout=self.dropout, dtype=self.dtype,
                                        torch_init=self.torch_init,
                                        fused_attention=self.fused_attention,
+                                       cheap_dropout=self.cheap_dropout,
                                        name="block")(carry, train=self.train, mask=mask)
                 return out, None
 
@@ -297,7 +371,8 @@ class TransformerStack(nn.Module):
         )
         h, _ = ScanBody(self.d_model, self.n_heads, self.ff_dim,
                         self.dropout, self.dtype, train, self.torch_init,
-                        self.fused_attention, name="layers")(h, mask)
+                        self.fused_attention, self.cheap_dropout,
+                        name="layers")(h, mask)
         return h
 
 
@@ -318,6 +393,7 @@ class TransformerMotionEncoder(nn.Module):
     scan_layers: bool = False
     torch_init: bool = False
     fused_attention: bool = False
+    cheap_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -335,6 +411,7 @@ class TransformerMotionEncoder(nn.Module):
                                  self.ff_dim, dropout=self.dropout, dtype=self.dtype,
                                  scan=True, torch_init=self.torch_init,
                                  fused_attention=self.fused_attention,
+                                 cheap_dropout=self.cheap_dropout,
                                  name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
@@ -342,6 +419,7 @@ class TransformerMotionEncoder(nn.Module):
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
+                                     cheap_dropout=self.cheap_dropout,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
@@ -366,6 +444,7 @@ class TransformerMotionDecoder(nn.Module):
     scan_layers: bool = False
     torch_init: bool = False
     fused_attention: bool = False
+    cheap_dropout: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -384,6 +463,7 @@ class TransformerMotionDecoder(nn.Module):
                                  self.ff_dim, dropout=self.dropout, dtype=self.dtype,
                                  scan=True, torch_init=self.torch_init,
                                  fused_attention=self.fused_attention,
+                                 cheap_dropout=self.cheap_dropout,
                                  name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
@@ -391,6 +471,7 @@ class TransformerMotionDecoder(nn.Module):
                                      dropout=self.dropout, dtype=self.dtype,
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
+                                     cheap_dropout=self.cheap_dropout,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)

@@ -25,6 +25,8 @@ def main():
                    help="gradient-accumulation chunk counts to sweep")
     p.add_argument("--fused", type=int, nargs="+", default=[0],
                    help="fused Pallas attention on/off (1/0) variants")
+    p.add_argument("--cheap", type=int, nargs="+", default=[0],
+                   help="uint8-bit dropout masks on/off (1/0) variants")
     p.add_argument("--n_windows", type=int, default=65536)
     p.add_argument("--epochs_timed", type=int, default=6)
     p.add_argument("--prng", type=str, default="rbg")
@@ -38,28 +40,30 @@ def main():
     import bench
 
     rows = []
-    for batch, pack, dt, drop, accum, fused in itertools.product(
+    for batch, pack, dt, drop, accum, fused, cheap in itertools.product(
             args.batches, args.packings, args.dtypes, args.dropout,
-            args.accums, args.fused):
+            args.accums, args.fused, args.cheap):
         if batch % pack != 0 or batch > args.n_windows or batch % accum != 0:
             continue
         rate, loss = bench.bench_training(
             batch=batch, attn_packing=pack, compute_dtype=dt,
             n_windows=args.n_windows, epochs_timed=args.epochs_timed,
-            dropout=drop, accum_chunks=accum, fused_attention=bool(fused))
+            dropout=drop, accum_chunks=accum, fused_attention=bool(fused),
+            cheap_dropout=bool(cheap))
         row = {"batch": batch, "attn_packing": pack, "dtype": dt,
                "dropout": drop, "accum_chunks": accum, "fused": fused,
+               "cheap": cheap,
                "windows_per_sec_per_chip": round(rate, 1),
                "final_loss": round(loss, 4)}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    print("\n| batch | pack | dtype | dropout | accum | fused | windows/s/chip |", file=sys.stderr)
-    print("|---|---|---|---|---|---|---|", file=sys.stderr)
+    print("\n| batch | pack | dtype | dropout | accum | fused | cheap | windows/s/chip |", file=sys.stderr)
+    print("|---|---|---|---|---|---|---|---|", file=sys.stderr)
     for r in rows:
         print(f"| {r['batch']} | {r['attn_packing']} | {r['dtype']} | "
               f"{r['dropout']} | {r['accum_chunks']} | {r['fused']} | "
-              f"{r['windows_per_sec_per_chip']:,.0f} |",
+              f"{r['cheap']} | {r['windows_per_sec_per_chip']:,.0f} |",
               file=sys.stderr)
 
 

@@ -77,6 +77,10 @@ def main():
                    help="Opt-in Mentzer-style FSQ bounding (tanh-squash to "
                         "exactly prod(levels) codes); the reference rounds the "
                         "unbounded projection — see diag_fsq_spread.py")
+    p.add_argument("--cheap_dropout", action="store_true",
+                   help="uint8-bit dropout masks (8 PRNG bits/element; keep "
+                        "prob quantized to 1/256) — measured mask-gen cost "
+                        "cure, see perf_battery.md")
     p.add_argument("--lfq_norm", action="store_true",
                    help="Opt-in LFQ pre-sign LayerNorm (stops the measured "
                         "STE scale runaway — see diag_lfq.py)")
@@ -108,6 +112,7 @@ def main():
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention, fsq_bounded=args.fsq_bounded,
+        cheap_dropout=args.cheap_dropout,
         lfq_norm=args.lfq_norm, entropy_loss_weight=args.entropy_weight,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",

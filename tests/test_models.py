@@ -125,3 +125,63 @@ def test_deterministic_eval():
     o2 = model.apply(vs, x_robot=x_r, train=False)
     np.testing.assert_array_equal(np.asarray(o1["robot"]["recon"]),
                                   np.asarray(o2["robot"]["recon"]))
+
+
+# ---------- cheap (uint8-bit) dropout ----------
+
+def test_cheap_dropout_semantics():
+    """uint8-mask dropout: identity in eval; in train the drop fraction and
+    rescale match the QUANTIZED rate (26/256 for 0.1) so E[out] = x."""
+    from bridgerl_tpu.models.layers import CheapDropout
+
+    x = jnp.ones((64, 64, 64))
+    d_eval = CheapDropout(0.1, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(d_eval.apply({}, x)), np.asarray(x))
+
+    d = CheapDropout(0.1, deterministic=False)
+    out = np.asarray(d.apply({}, x, rngs={"dropout": jax.random.key(3)}))
+    q = 26 / 256
+    dropped = (out == 0).mean()
+    assert abs(dropped - q) < 0.01
+    kept = out[out != 0]
+    np.testing.assert_allclose(kept, 1.0 / (1.0 - q), rtol=1e-5)
+    np.testing.assert_allclose(out.mean(), 1.0, rtol=0.02)  # expectation kept
+
+
+def test_cheap_attn_fn_matches_stock_when_deterministic():
+    """cheap_attn_dropout_fn must reproduce stock dot-product attention
+    exactly when dropout is off (same scaling/mask/softmax math)."""
+    from bridgerl_tpu.models.layers import cheap_attn_dropout_fn
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (2, 10, 4, 16))
+    k = jax.random.normal(k2, (2, 10, 4, 16))
+    v = jax.random.normal(k3, (2, 10, 4, 16))
+    mask = jnp.tril(jnp.ones((10, 10), bool))[None, None]
+    import flax.linen as nn
+    ref = nn.dot_product_attention(q, k, v, mask=mask, deterministic=True)
+    got = cheap_attn_dropout_fn(q, k, v, mask=mask, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_cheap_dropout_model_trains():
+    """Flagship-shaped model with cheap_dropout=True runs a train-mode forward
+    with dropout rngs and matches the stock model exactly in EVAL mode (the
+    flag changes only mask generation, not the param tree or eval math)."""
+    cfg = ModelConfig(arch="transformer", method="hybrid", window_size=10,
+                      hidden_dim=16, d_model=32, ff_dim=64, n_tf_layers=1,
+                      cheap_dropout=True)
+    cfg_ref = ModelConfig(arch="transformer", method="hybrid", window_size=10,
+                          hidden_dim=16, d_model=32, ff_dim=64, n_tf_layers=1)
+    model, vs = init_model(cfg, KEY)
+    model_ref, vs_ref = init_model(cfg_ref, KEY)
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs_ref)
+    x_r = jax.random.normal(KEY, (8, 10, 29))
+    out, _ = model.apply(vs, x_robot=x_r, train=True, mutable=["qstats"],
+                         rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out["robot"]["recon"])).all()
+    e1 = model.apply(vs, x_robot=x_r, train=False)
+    e2 = model_ref.apply(vs, x_robot=x_r, train=False)
+    np.testing.assert_allclose(np.asarray(e1["robot"]["recon"]),
+                               np.asarray(e2["robot"]["recon"]), atol=2e-5)
