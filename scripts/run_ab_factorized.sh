@@ -12,8 +12,12 @@
 #   ref_exact  — all three (reproduces the round-2 confounded arm)
 #
 # Flagship transformer+hybrid teacher, W10 pinned dense set, batch 1024,
-# f32 (the round-2 A/B regime), 150 epochs x seeds {42,1024} via the
-# multiseed vmap. Summarize with scripts/summarize_ab_factorized.py.
+# 150 epochs x seeds {42,1024} via the multiseed vmap, on the production
+# bf16+rbg regime (round-2 evidence: bf16 matches f32 quality at equal
+# epochs, docs/REF_EXACT.md; the f32 multiseed arm measured 33s/epoch on the
+# tunneled chip — 5 arms would not fit a round). All five arms share the
+# regime, so per-flag deltas stay internally comparable. Summarize with
+# scripts/summarize_ab_factorized.py.
 set -x
 cd /root/repo
 
@@ -30,6 +34,7 @@ for arm in default torch_init cold_ema ref_vel ref_exact; do
   python /root/repo/scripts/train_ablation.py --arch transformer --method hybrid \
       --window 10 --data_dir /root/repo/data/dense_w10 --epochs $EPOCHS \
       --batch_size 1024 --seed 42 1024 --multiseed --attn_packing 8 \
+      --bf16 --prng rbg --save_every 25 \
       --log_dir abruns/ab3/$arm/results --checkpoint_dir abruns/ab3/$arm/checkpoints \
       $EXTRA \
       || echo "AB ARM $arm FAILED"

@@ -77,6 +77,10 @@ def main():
                    help="Opt-in Mentzer-style FSQ bounding (tanh-squash to "
                         "exactly prod(levels) codes); the reference rounds the "
                         "unbounded projection — see diag_fsq_spread.py")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="Epochs between `_last` checkpoint writes (device->"
+                        "host state pulls cost seconds/epoch on the tunneled "
+                        "TPU; resume granularity trades against throughput)")
     p.add_argument("--cheap_dropout", action="store_true",
                    help="uint8-bit dropout masks (8 PRNG bits/element; keep "
                         "prob quantized to 1/256) — measured mask-gen cost "
@@ -109,6 +113,7 @@ def main():
         args.arch, args.method, window=args.window, mode=args.mode,
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
+        save_every=args.save_every,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention, fsq_bounded=args.fsq_bounded,
