@@ -1,0 +1,27 @@
+#!/bin/bash
+# Round-3 perf stage (VERDICT items 5 + 6): cheap-dropout sweep at the
+# headline config, microbatch re-sweep under cheap masks, and the multiseed
+# vmap benchmark. Appends to perf_battery.md. Single TPU client at a time.
+set -x
+cd /root/repo
+
+# 1. uint8-bit dropout masks at the headline config (+ dropout-off ceiling,
+#    + the neighboring microbatch to re-find the optimum under cheap masks)
+python scripts/bench_sweep.py --batches 16384 --packings 8 --accums 32 \
+    --cheap 0 1 2>> perf_battery.md \
+    || echo "SWEEP CHEAP FAILED"
+python scripts/bench_sweep.py --batches 16384 --packings 8 --accums 16 64 \
+    --cheap 1 2>> perf_battery.md \
+    || echo "SWEEP CHEAP MICRO FAILED"
+python scripts/bench_sweep.py --batches 8192 --packings 8 --accums 16 \
+    --cheap 1 2>> perf_battery.md \
+    || echo "SWEEP CHEAP 8K FAILED"
+
+# 2. multiseed vmap benchmark (small grid model S in {2,4,8} + flagship S=2)
+python scripts/bench_multiseed.py 2>> perf_battery.md \
+    || echo "BENCH MULTISEED FAILED"
+
+# 3. final bench line (current default config)
+python bench.py || echo "BENCH FAILED"
+
+echo "PERF R3 DONE"
