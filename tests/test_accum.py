@@ -80,3 +80,16 @@ def test_accum_config_roundtrip():
     exp = make_experiment("transformer", "ae", window=10, batch_size=64, accum_chunks=4)
     assert exp.train.accum_chunks == 4
     assert dataclasses.asdict(exp.train)["accum_chunks"] == 4
+
+
+def test_accum_clamps_to_divisor_on_small_batches():
+    """A dataset smaller than batch_size clamps the effective batch (trainer
+    train_seed); accum must fall back to a divisor instead of crashing at
+    reshape (round-2 ADVICE). accum=4 with an effective batch of 6 -> gcd=2."""
+    exp, state, fn = build("ae", accum=4, batch=8)
+    robot = jax.random.normal(jax.random.key(1), (6, 10, 29), jnp.float32)
+    human = jax.random.normal(jax.random.key(2), (6, 10, 126), jnp.float32)
+    idx = jnp.arange(6).reshape(1, 6)  # effective batch 6, not divisible by 4
+    keys = jax.random.split(jax.random.key(3), 1)
+    state, logs = fn(state, robot, human, idx, keys)
+    assert np.isfinite(float(logs["train_loss"]))
