@@ -217,3 +217,38 @@ def test_render_frame_and_motion(g1, tmp_path, rng):
     assert os.path.getsize(gif) > 0
     segs = skeleton_segments(g1, traj[0])
     assert segs.shape == (g1.num_links - 1, 2, 3)
+
+
+# ---------- live viewport ----------
+
+def test_live_viewer_page_and_server(g1, rng):
+    """The interactive viewport page embeds every frame, balances its JS, and
+    serves over localhost (the reference's live-viewport counterpart,
+    play_g1_npy.py:194-210)."""
+    import re
+    import threading
+    import urllib.request
+
+    from bridgerl_tpu.sim.live import (
+        build_viewer_html, motion_to_frames, serve_viewer)
+
+    q = rng.uniform(-0.3, 0.3, size=(5, g1.num_actuated)).astype(np.float32)
+    pos = motion_to_frames(g1, q)
+    assert pos.shape == (5, g1.num_links, 3)
+    ref = fk_numpy(g1, q[3])[0]
+    np.testing.assert_allclose(pos[3], ref, atol=1e-5)
+
+    html = build_viewer_html(g1, pos, fps=20.0, title="t")
+    js = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+    for a, b in ("()", "[]", "{}"):
+        assert js.count(a) == js.count(b)
+    assert f"const FRAMES = {np.round(pos, 4).tolist()}".replace("'", '"') \
+        .split("=")[0] in js  # frames embedded
+    assert str(g1.parent_index.tolist()) in js.replace(" ", "") or \
+        str(g1.parent_index.tolist()).replace(" ", "") in js.replace(" ", "")
+
+    t = threading.Thread(target=serve_viewer, args=(html, 8739, 1))
+    t.start()
+    body = urllib.request.urlopen("http://127.0.0.1:8739/", timeout=10).read()
+    t.join(5)
+    assert body.decode() == html
