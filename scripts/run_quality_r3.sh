@@ -67,7 +67,14 @@ python scripts/train_ablation.py --arch resnet --method lfq --window 64 \
     --teacher_ckpt "checkpoints/Exp_resnet_W64_lfq_teacher_seed_{seed}_best.ckpt" \
     $LFQ_FLAGS || echo "STUDENT resnet_lfq FAILED"
 
-# 6. derived artifacts
+# 6. W64-era transformer+hybrid teacher (parity row C10 vs BASELINE row 5;
+#    bf16+rbg production regime — measured quality-neutral, docs/REF_EXACT.md)
+python scripts/train_ablation.py --arch transformer --method hybrid --window 64 \
+    --data_dir data/dense_w64 --epochs 300 --batch_size 512 --patience 30 \
+    --seed 42 1024 --multiseed --attn_packing 2 --bf16 --prng rbg \
+    --save_every 25 $FLAGS || echo "W64 TRANSFORMER FAILED"
+
+# 7. derived artifacts
 python scripts/plot_results.py || echo "PLOTS FAILED"
 python scripts/export_latex_table.py > results/ablation_table.tex || echo "LATEX FAILED"
 python scripts/check_parity.py || echo "PARITY FAILED"
