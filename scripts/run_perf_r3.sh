@@ -24,15 +24,17 @@ python scripts/bench_multiseed.py 2>> perf_battery.md \
 # 3. cheap-dropout QUALITY arm: same config as the round-2 bf16 arm
 #    (abruns/bf16: 150 epochs, batch 512, seed 42, best val_recon 0.0043) so
 #    the uint8-mask flag has a direct quality comparison before any default
-#    flips.
-mkdir -p abruns/cheap_dropout
-python scripts/train_ablation.py --arch transformer --method hybrid \
-    --window 10 --data_dir data/dense_w10 --epochs 150 \
-    --batch_size 512 --patience 20 --seed 42 --attn_packing 8 --bf16 \
-    --prng rbg --cheap_dropout --save_every 25 \
-    --log_dir abruns/cheap_dropout/results \
-    --checkpoint_dir abruns/cheap_dropout/checkpoints \
-    || echo "CHEAP QUALITY ARM FAILED"
+#    flips. Skipped when run_r3_stage1.sh already produced it.
+if [ ! -f abruns/cheap_dropout/results/log_transformer_hybrid_seed_42.json ]; then
+  mkdir -p abruns/cheap_dropout
+  python scripts/train_ablation.py --arch transformer --method hybrid \
+      --window 10 --data_dir data/dense_w10 --epochs 150 \
+      --batch_size 512 --patience 20 --seed 42 --attn_packing 8 --bf16 \
+      --prng rbg --cheap_dropout --save_every 25 \
+      --log_dir abruns/cheap_dropout/results \
+      --checkpoint_dir abruns/cheap_dropout/checkpoints \
+      || echo "CHEAP QUALITY ARM FAILED"
+fi
 
 # 4. final bench line (current default config)
 python bench.py || echo "BENCH FAILED"
