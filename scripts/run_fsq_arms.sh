@@ -14,16 +14,19 @@ cd /root/repo
 
 mkdir -p abruns/fsqb/flagship abruns/fsqb/grid
 
-python scripts/train_ablation.py --arch transformer --method hybrid --window 10 \
-    --data_dir data/dense_w10 --epochs 150 --batch_size 1024 --seed 42 \
-    --multiseed --attn_packing 8 --bf16 --prng rbg --save_every 25 --fsq_bounded \
-    --log_dir abruns/fsqb/flagship/results --checkpoint_dir abruns/fsqb/flagship/checkpoints \
-    || echo "FSQB FLAGSHIP FAILED"
-
+# grid arm first: it is cheap and is the one that decides FSQ_FLAGS for the
+# C2-bearing W64 regeneration (run_quality_r3_lite.sh); the flagship arm is
+# the expensive confirmation that the bound doesn't hurt hybrid quality.
 python scripts/train_ablation.py --arch resnet --method fsq --window 64 \
     --data_dir data/dense_w64 --epochs 150 --batch_size 512 --seed 42 \
     --save_every 25 --fsq_bounded \
     --log_dir abruns/fsqb/grid/results --checkpoint_dir abruns/fsqb/grid/checkpoints \
     || echo "FSQB GRID FAILED"
+
+python scripts/train_ablation.py --arch transformer --method hybrid --window 10 \
+    --data_dir data/dense_w10 --epochs 150 --batch_size 1024 --seed 42 \
+    --multiseed --attn_packing 8 --bf16 --prng rbg --save_every 25 --fsq_bounded \
+    --log_dir abruns/fsqb/flagship/results --checkpoint_dir abruns/fsqb/flagship/checkpoints \
+    || echo "FSQB FLAGSHIP FAILED"
 
 echo "FSQ ARMS DONE"
