@@ -82,8 +82,12 @@ class ModelConfig:
     # TPU batch sizes (round-1 flagship PPL=1 collapse).
     ema_warm_start: bool = True
     # torch-style kaiming-uniform kernel init (U(±sqrt(1/fan_in))) instead of
-    # flax lecun-normal, for A/B against reference training curves.
-    torch_init: bool = False
+    # flax lecun-normal. Default True since the round-3 factorized A/B
+    # (docs/REF_EXACT.md): the torch init measured 11.6% better best
+    # val_recon on the flagship at 150 epochs x 2 seeds, with every other
+    # flag at its default. False restores lecun-normal (the round-2 regime
+    # all pre-round-3 results/ logs trained under).
+    torch_init: bool = True
 
     def __post_init__(self):
         if self.arch not in ARCHS:
@@ -117,8 +121,13 @@ class TrainConfig:
     teacher_ckpt: Optional[str] = None
     # Reference-exact velocity loss: diff along the CHANNEL axis like the
     # reference's `recon[:,:,1:] - recon[:,:,:-1]` (train_ablation.py:214 — an
-    # apparent indexing slip); False = intended time-axis semantics.
-    ref_exact_vel: bool = False
+    # apparent indexing slip); False = time-axis semantics. Default True
+    # since the round-3 factorized A/B (docs/REF_EXACT.md): reference
+    # semantics measured 8.4% better best val_recon while the time-axis
+    # val_vel eval metric worsened only 1.6% — the time-axis training loss
+    # does not buy the smoothness it costs in recon. Time-axis remains one
+    # flag away (--no_ref_exact_vel).
+    ref_exact_vel: bool = True
     save_every: int = 1          # epochs between `_last` checkpoint writes (ref: 1)
     # TPU-specific
     data_axis: str = "data"      # mesh axis name for batch sharding

@@ -5,17 +5,23 @@
 # scale to O(1000) in ~8 epochs, the entropy term saturates to 0, sign flips
 # stop, and train recon freezes at the data variance (results/
 # log_resnet_lfq_seed_42.json stopped at epoch 26 on patience). Arms isolate
-# the candidate cures at 80 epochs, seed 42, resnet W64 (the grid config):
+# the candidate cures at 80 epochs, seed 42, resnet W64 (the grid config).
 #
-#   base        — reference formulation (reproduces the collapse)
-#   tinit       — torch kaiming-uniform init only (2.4x smaller start scale)
+# All arms sit on the round-3 A/B-chosen defaults (torch_init +
+# ref_exact_vel, docs/REF_EXACT.md) — the regime the results/ LFQ row will be
+# retrained under:
+#
+#   base        — new defaults only (torch init starts 2.4x smaller than the
+#                 collapsed round-2 lecun run; does that alone cure it?)
 #   norm        — pre-sign LayerNorm (lfq_norm flag)
-#   norm_tinit  — both
 #   ent0        — entropy weight 0 (isolate the regularizer's role)
 #   ent5        — entropy weight 0.5 (stronger anti-saturation force)
+#   norm_ent0   — LayerNorm without the entropy force
+#   lecun       — --no_torch_init control (the round-2 regime; expected to
+#                 reproduce the collapse)
 #
 # Summarize with scripts/summarize_lfq_sweep.py; winner gets the 300-epoch
-# 2-seed run for results/.
+# 2-seed run for results/ (run_quality_r3_lite.sh LFQ_FLAGS).
 set -x
 cd /root/repo
 
@@ -31,10 +37,10 @@ run () {
 }
 
 run base
-run tinit --torch_init
 run norm --lfq_norm
-run norm_tinit --lfq_norm --torch_init
 run ent0 --entropy_weight 0.0
 run ent5 --entropy_weight 0.5
+run norm_ent0 --lfq_norm --entropy_weight 0.0
+run lecun --no_torch_init
 
 echo "LFQ SWEEP DONE"

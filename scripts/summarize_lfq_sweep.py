@@ -7,7 +7,10 @@ import sys
 
 import numpy as np
 
-ARMS = ("base", "tinit", "norm", "norm_tinit", "ent0", "ent5")
+ARMS = ("base", "norm", "ent0", "ent5", "norm_ent0", "lecun",
+        # pre-defaults-flip arm names (round-3 A/B flipped torch_init on by
+        # default, so the tinit arms folded into base/norm):
+        "tinit", "norm_tinit")
 
 
 def summarize(run_dir: str):

@@ -59,15 +59,22 @@ def main():
                    help="Flip all documented deviations to reference semantics "
                         "(channel-axis velocity diff, torch kernel inits, cold "
                         "EMA-state init) for A/B runs — see docs/REF_EXACT.md")
-    p.add_argument("--torch_init", action="store_true",
-                   help="Single-flag A/B arm: torch kaiming/xavier-uniform "
-                        "kernel inits only (docs/REF_EXACT.md deviation #3)")
+    p.add_argument("--torch_init", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="torch kaiming/xavier-uniform kernel inits (config "
+                        "default True since the round-3 A/B measured -11.6% "
+                        "best val_recon; --no_torch_init = lecun-normal, the "
+                        "pre-round-3 regime; docs/REF_EXACT.md)")
     p.add_argument("--cold_ema", action="store_true",
                    help="Single-flag A/B arm: reference cold EMA-state init "
-                        "only (normal ema_w, zero cluster sizes; deviation #2)")
-    p.add_argument("--ref_exact_vel", action="store_true",
-                   help="Single-flag A/B arm: channel-axis velocity diff only "
-                        "(deviation #1)")
+                        "only (normal ema_w, zero cluster sizes; the one "
+                        "deviation KEPT after the round-3 A/B — neutral at "
+                        "this regime, pathological at large batch)")
+    p.add_argument("--ref_exact_vel", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="channel-axis velocity diff, the reference's exact "
+                        "semantics (config default True since the round-3 A/B "
+                        "measured -8.4%; --no_ref_exact_vel = time-axis)")
     p.add_argument("--log_dir", type=str, default="results",
                    help="History JSON directory (A/B arms redirect this)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
@@ -133,12 +140,13 @@ def main():
     else:
         # single-flag arms for the factorized A/B (round-2 VERDICT item 1)
         model_over, train_over = {}, {}
-        if args.torch_init:
-            model_over["torch_init"] = True
+        if args.torch_init is not None and args.torch_init != exp.model.torch_init:
+            model_over["torch_init"] = args.torch_init
         if args.cold_ema:
             model_over["ema_warm_start"] = False
-        if args.ref_exact_vel:
-            train_over["ref_exact_vel"] = True
+        if (args.ref_exact_vel is not None
+                and args.ref_exact_vel != exp.train.ref_exact_vel):
+            train_over["ref_exact_vel"] = args.ref_exact_vel
         if model_over or train_over:
             exp = _dc.replace(
                 exp,

@@ -80,8 +80,12 @@ def test_hybrid_rvq_usable_from_first_steps():
 
 def test_ref_exact_flips_all_switches():
     exp = make_experiment("transformer", "hybrid", window=10)
-    assert exp.model.ema_warm_start and not exp.model.torch_init
-    assert not exp.train.ref_exact_vel
+    # round-3 A/B-chosen defaults (docs/REF_EXACT.md): torch inits and the
+    # reference's channel-axis velocity are now default; the EMA warm start
+    # is the single kept deviation.
+    assert exp.model.ema_warm_start
+    assert exp.model.torch_init
+    assert exp.train.ref_exact_vel
     rx = ref_exact(exp)
     assert not rx.model.ema_warm_start
     assert rx.model.torch_init
@@ -105,7 +109,9 @@ def test_torch_init_changes_kernel_distribution():
     from bridgerl_tpu.models.dual_vqvae import init_model
 
     cfg = ModelConfig(arch="simple", method="ae", window_size=8,
-                      human_input_dim=6, robot_input_dim=4, hidden_dim=8)
+                      human_input_dim=6, robot_input_dim=4, hidden_dim=8,
+                      torch_init=False)  # explicit lecun baseline (torch_init
+    # is the config default since the round-3 A/B, docs/REF_EXACT.md)
     _, v_flax = init_model(cfg, jax.random.key(1))
     _, v_torch = init_model(dataclasses.replace(cfg, torch_init=True), jax.random.key(1))
 
