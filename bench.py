@@ -144,8 +144,9 @@ def main():
     from bridgerl_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    cheap = "--cheap" in sys.argv  # uint8-bit dropout masks (perf_battery.md)
     rate, loss = bench_training(compute_dtype="bfloat16", batch=16384,
-                                accum_chunks=32)
+                                accum_chunks=32, cheap_dropout=cheap)
     if "--no_f32" in sys.argv:
         rate_f32, loss_f32 = -1.0, float("nan")
     else:

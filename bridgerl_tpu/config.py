@@ -57,17 +57,22 @@ class ModelConfig:
     cheap_dropout: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
-    # Opt-in FSQ bounding (Mentzer et al. 2023 tanh-squash to exactly
-    # prod(levels) codes). The reference rounds the UNBOUNDED projection
-    # (vqvae.py:118-122) whose spread is a learned equilibrium — measured at
-    # 2.8-4.6x nominal here vs the reference's 1.36x (diag_fsq_spread.py);
-    # bounded=True guarantees unique/nominal <= 1.0.
-    fsq_bounded: bool = False
+    # FSQ bounding (Mentzer et al. 2023 tanh-squash to exactly prod(levels)
+    # codes). The reference rounds the UNBOUNDED projection (vqvae.py:118-122)
+    # whose spread is a learned equilibrium — measured at 2.8-4.6x nominal
+    # here vs the reference's 1.36x (diag_fsq_spread.py). Default True since
+    # the round-3 arm measured it better on BOTH axes: W64 grid best
+    # val_recon 0.0372@150ep (vs 0.0453 unbounded at equal epochs) with
+    # unique/nominal 1.0 and DCR 0.003 — the reference's own published
+    # signature. bounded=False restores the reference's exact formulation.
+    fsq_bounded: bool = True
     lfq_dim: int = 10
-    # Opt-in LFQ pre-sign LayerNorm (no affine): stops the measured STE scale
+    # LFQ pre-sign LayerNorm (no affine): stops the measured STE scale
     # runaway that freezes the reference formulation at mean-prediction on
-    # this repo's data (scripts/diag_lfq.py; docs/REF_EXACT.md).
-    lfq_norm: bool = False
+    # this repo's data (scripts/diag_lfq.py). Default True since the round-3
+    # sweep: collapsed best val_recon 0.2703/PPL 33 -> 0.0562/PPL 981 at 80
+    # epochs with the norm. lfq_norm=False restores reference semantics.
+    lfq_norm: bool = True
     commitment_cost: float = 0.25
     ema_decay: float = 0.99
     entropy_loss_weight: float = 0.1
@@ -126,7 +131,7 @@ class TrainConfig:
     # semantics measured 8.4% better best val_recon while the time-axis
     # val_vel eval metric worsened only 1.6% — the time-axis training loss
     # does not buy the smoothness it costs in recon. Time-axis remains one
-    # flag away (--no_ref_exact_vel).
+    # flag away (--no-ref_exact_vel).
     ref_exact_vel: bool = True
     save_every: int = 1          # epochs between `_last` checkpoint writes (ref: 1)
     # TPU-specific

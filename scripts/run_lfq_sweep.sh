@@ -17,7 +17,7 @@
 #   ent0        — entropy weight 0 (isolate the regularizer's role)
 #   ent5        — entropy weight 0.5 (stronger anti-saturation force)
 #   norm_ent0   — LayerNorm without the entropy force
-#   lecun       — --no_torch_init control (the round-2 regime; expected to
+#   lecun       — --no-torch_init control (the round-2 regime; expected to
 #                 reproduce the collapse)
 #
 # Summarize with scripts/summarize_lfq_sweep.py; winner gets the 300-epoch
@@ -41,6 +41,6 @@ run norm --lfq_norm
 run ent0 --entropy_weight 0.0
 run ent5 --entropy_weight 0.5
 run norm_ent0 --lfq_norm --entropy_weight 0.0
-run lecun --no_torch_init
+run lecun --no-torch_init
 
 echo "LFQ SWEEP DONE"

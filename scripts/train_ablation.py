@@ -63,7 +63,7 @@ def main():
                    default=None,
                    help="torch kaiming/xavier-uniform kernel inits (config "
                         "default True since the round-3 A/B measured -11.6% "
-                        "best val_recon; --no_torch_init = lecun-normal, the "
+                        "best val_recon; --no-torch_init = lecun-normal, the "
                         "pre-round-3 regime; docs/REF_EXACT.md)")
     p.add_argument("--cold_ema", action="store_true",
                    help="Single-flag A/B arm: reference cold EMA-state init "
@@ -74,16 +74,19 @@ def main():
                    default=None,
                    help="channel-axis velocity diff, the reference's exact "
                         "semantics (config default True since the round-3 A/B "
-                        "measured -8.4%; --no_ref_exact_vel = time-axis)")
+                        "measured -8.4%; --no-ref_exact_vel = time-axis)")
     p.add_argument("--log_dir", type=str, default="results",
                    help="History JSON directory (A/B arms redirect this)")
     p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype (f32 master weights + codebook math)")
-    p.add_argument("--fsq_bounded", action="store_true",
-                   help="Opt-in Mentzer-style FSQ bounding (tanh-squash to "
-                        "exactly prod(levels) codes); the reference rounds the "
-                        "unbounded projection — see diag_fsq_spread.py")
+    p.add_argument("--fsq_bounded", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Mentzer-style FSQ bounding (tanh-squash to exactly "
+                        "prod(levels) codes; config default True since the "
+                        "round-3 arm measured it better with the reference's "
+                        "published DCR~0 signature); --no-fsq_bounded "
+                        "restores the reference's unbounded round")
     p.add_argument("--save_every", type=int, default=1,
                    help="Epochs between `_last` checkpoint writes (device->"
                         "host state pulls cost seconds/epoch on the tunneled "
@@ -92,9 +95,12 @@ def main():
                    help="uint8-bit dropout masks (8 PRNG bits/element; keep "
                         "prob quantized to 1/256) — measured mask-gen cost "
                         "cure, see perf_battery.md")
-    p.add_argument("--lfq_norm", action="store_true",
-                   help="Opt-in LFQ pre-sign LayerNorm (stops the measured "
-                        "STE scale runaway — see diag_lfq.py)")
+    p.add_argument("--lfq_norm", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="LFQ pre-sign LayerNorm (stops the measured STE scale "
+                        "runaway, see diag_lfq.py; config default True since "
+                        "the round-3 sweep: 0.2703/PPL 33 -> 0.0562/PPL 981); "
+                        "--no-lfq_norm restores reference semantics")
     p.add_argument("--entropy_weight", type=float, default=0.1,
                    help="LFQ entropy regularization weight (reference 0.1)")
     args = p.parse_args()
@@ -116,6 +122,10 @@ def main():
     print(f"Dataset loaded. Dim: R={ds.robot_dim}/H={ds.human_dim}, "
           f"N={len(ds)}, Batch={args.batch_size}")
 
+    # tri-state CLI switches (None = inherit the config default)
+    opt = {k: v for k, v in
+           (("fsq_bounded", args.fsq_bounded), ("lfq_norm", args.lfq_norm))
+           if v is not None}
     exp = make_experiment(
         args.arch, args.method, window=args.window, mode=args.mode,
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
@@ -123,11 +133,12 @@ def main():
         save_every=args.save_every,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
-        fused_attention=args.fused_attention, fsq_bounded=args.fsq_bounded,
+        fused_attention=args.fused_attention,
         cheap_dropout=args.cheap_dropout,
-        lfq_norm=args.lfq_norm, entropy_loss_weight=args.entropy_weight,
+        entropy_loss_weight=args.entropy_weight,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        **opt,
     )
     import dataclasses as _dc
     if args.log_dir != "results" or args.checkpoint_dir != "checkpoints":
