@@ -134,6 +134,13 @@ class TrainConfig:
     # flag away (--no-ref_exact_vel).
     ref_exact_vel: bool = True
     save_every: int = 1          # epochs between `_last` checkpoint writes (ref: 1)
+    # Seed first-stage EMA codebooks from encoder outputs on a real batch
+    # before training (VQ-VAE-2/Jukebox-style data init). Cures the measured
+    # winner-take-all collapse when latents sit in a tiny ball far from the
+    # reference's U(-1/K,1/K) code init (W64 transformer: PPL pinned at 1.0
+    # from epoch 0 — train/codebook_seed.py has the numbers). Init-only;
+    # opt-in (teacher mode, fresh starts).
+    codebook_data_init: bool = False
     # TPU-specific
     data_axis: str = "data"      # mesh axis name for batch sharding
     donate: bool = True

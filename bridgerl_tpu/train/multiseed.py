@@ -136,6 +136,21 @@ class MultiSeedTrainer:
         states = init_states_vmapped(exp, seeds, load_teacher=resume_cks is None)
         tx = make_optimizer(exp, jax.tree_util.tree_map(lambda x: x[0], states.params))
 
+        if tcfg.codebook_data_init and mode == "teacher" and resume_cks is None:
+            from .codebook_seed import seed_codebook_variables
+            xb = ds.robot[: tcfg.batch_size]
+
+            def _seed_one(params, rest):
+                v = seed_codebook_variables(model, {"params": params, **rest}, xb)
+                return split_variables(v)
+
+            new_p, new_r = jax.vmap(_seed_one)(states.params, states.rest)
+            states = TrainState(new_p, new_r, states.opt_state)
+            if self.verbose:
+                print(f"{TermColor.CYAN}    [Seed] codebook data init x {S} "
+                      f"seeds ({min(len(ds), tcfg.batch_size)} windows)"
+                      f"{TermColor.ENDC}")
+
         start_epoch = 0
         if resume_cks is not None:
             from .checkpoint import restore_opt_state, restore_variables

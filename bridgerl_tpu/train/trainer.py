@@ -300,6 +300,15 @@ class Trainer:
             if self.verbose:
                 print(f"{TermColor.BLUE}    [Student] Loaded teacher: {tpath}{TermColor.ENDC}")
 
+        if (tcfg.codebook_data_init and mode == "teacher" and start_epoch == 0
+                and not (tcfg.resume and os.path.exists(last_path))):
+            from .codebook_seed import seed_codebook_variables
+            variables = seed_codebook_variables(
+                model, variables, ds.robot[: tcfg.batch_size])
+            if self.verbose:
+                print(f"{TermColor.CYAN}    [Seed] codebook data init "
+                      f"({min(len(ds), tcfg.batch_size)} windows){TermColor.ENDC}")
+
         params, rest = split_variables(variables)
         tx = make_optimizer(exp, params)
         opt_state = tx.init(params)

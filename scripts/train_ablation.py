@@ -103,6 +103,12 @@ def main():
                         "--no-lfq_norm restores reference semantics")
     p.add_argument("--entropy_weight", type=float, default=0.1,
                    help="LFQ entropy regularization weight (reference 0.1)")
+    p.add_argument("--codebook_data_init", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Seed first-stage EMA codebooks from encoder outputs "
+                        "on a real batch before training (VQ-VAE-2-style data "
+                        "init; cures the measured W64-transformer PPL=1 "
+                        "winner-take-all collapse — train/codebook_seed.py)")
     args = p.parse_args()
 
     if args.prng != "threefry2x32":
@@ -124,7 +130,8 @@ def main():
 
     # tri-state CLI switches (None = inherit the config default)
     opt = {k: v for k, v in
-           (("fsq_bounded", args.fsq_bounded), ("lfq_norm", args.lfq_norm))
+           (("fsq_bounded", args.fsq_bounded), ("lfq_norm", args.lfq_norm),
+            ("codebook_data_init", args.codebook_data_init))
            if v is not None}
     exp = make_experiment(
         args.arch, args.method, window=args.window, mode=args.mode,

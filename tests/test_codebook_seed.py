@@ -1,0 +1,103 @@
+"""Data-dependent codebook seeding (train/codebook_seed.py).
+
+Reproduces the round-3 W64-transformer failure mode in miniature: latents in
+a tiny ball far from the U(-1/K,1/K) code init collapse the nearest-code
+search to one winner (PPL ~1); seeding the codebook from encoder outputs
+restores discrimination. Also pins the structural contract: only FIRST-stage
+EMA codebooks are reseeded (residual stages keep their residual-scale init),
+ema_w mirrors the embedding, cluster sizes are 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridgerl_tpu.config import ModelConfig
+from bridgerl_tpu.models import init_model
+from bridgerl_tpu.ops.codebook import nearest_codes
+from bridgerl_tpu.ops.quantizers import perplexity_from_counts
+from bridgerl_tpu.train.codebook_seed import seed_codebook_variables
+
+
+def _setup(method="hybrid"):
+    cfg = ModelConfig(arch="resnet", method=method, window_size=16,
+                      human_input_dim=6, robot_input_dim=4, hidden_dim=8,
+                      codebook_size=32)
+    model, variables = init_model(cfg, jax.random.key(0))
+    # a real-ish batch: small windows whose encoder outputs land in a tight
+    # ball away from the origin (the measured W64 collapse geometry)
+    x = 0.05 * jax.random.normal(jax.random.key(1), (64, 16, 4)) + 1.0
+    return model, variables, x
+
+
+def _first_stage(qstats):
+    node = qstats
+    while isinstance(node, dict) and "embedding" not in node:
+        # descend into the single child chain until the first EMA VQ dict
+        for k in sorted(node.keys()):
+            if k == "vq_0" or isinstance(node[k], dict):
+                node = node[k]
+                break
+    return node
+
+
+def test_seeding_places_codes_on_the_data():
+    model, variables, x = _setup()
+    seeded = seed_codebook_variables(model, variables, x)
+    z = model.apply(seeded, x, method=model.encode_robot)
+    flat = np.asarray(z, np.float32).reshape(-1, z.shape[-1])
+
+    emb = np.asarray(_first_stage(seeded["qstats"])["embedding"])
+    # every seeded code sits within jitter distance of some latent sample
+    d = np.linalg.norm(emb[:, None, :] - flat[None, :, :], axis=-1).min(axis=1)
+    assert d.max() < 0.05 * np.linalg.norm(flat, axis=1).mean()
+
+    st = _first_stage(seeded["qstats"])
+    np.testing.assert_allclose(np.asarray(st["ema_w"]), emb, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(st["ema_cluster_size"]), 1.0)
+
+
+def test_seeding_cures_winner_take_all():
+    model, variables, x = _setup()
+
+    def batch_ppl(v):
+        z = model.apply(v, x, method=model.encode_robot)
+        flat = jnp.reshape(z.astype(jnp.float32), (-1, z.shape[-1]))
+        emb = _first_stage(v["qstats"])["embedding"]
+        _, counts, _ = nearest_codes(flat, emb)
+        return float(perplexity_from_counts(counts))
+
+    before = batch_ppl(variables)
+    after = batch_ppl(seed_codebook_variables(model, variables, x))
+    assert after > 8.0, f"seeded ppl {after} (before {before})"
+    assert after > 2.0 * before
+
+
+def test_residual_stages_untouched():
+    model, variables, x = _setup(method="rvq")
+    seeded = seed_codebook_variables(model, variables, x)
+
+    def stages(v):
+        out = {}
+        def walk(node, name=""):
+            if isinstance(node, dict):
+                if "embedding" in node:
+                    out[name] = np.asarray(node["embedding"])
+                else:
+                    for k, c in node.items():
+                        walk(c, k)
+        walk(v["qstats"])
+        return out
+
+    s0, s1 = stages(variables), stages(seeded)
+    assert set(s0) == set(s1) and len(s0) >= 2
+    changed = {k for k in s0 if not np.allclose(s0[k], s1[k])}
+    assert changed == {"vq_0"}, f"reseeded stages: {changed}"
+
+
+def test_noop_for_codebook_free_methods():
+    model, variables, x = _setup(method="fsq")
+    seeded = seed_codebook_variables(model, variables, x)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)),
+                               variables, seeded))
