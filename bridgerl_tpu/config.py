@@ -73,6 +73,13 @@ class ModelConfig:
     # sweep: collapsed best val_recon 0.2703/PPL 33 -> 0.0562/PPL 981 at 80
     # epochs with the norm. lfq_norm=False restores reference semantics.
     lfq_norm: bool = True
+    # Opt-in pre-quantizer LayerNorm (parameter-free, shared by both encoder
+    # branches): removes the latents' common-mode offset before the
+    # nearest-code search. Cures the measured W64-transformer EMA collapse
+    # that data seeding alone cannot (the cloud's common-mode drift outruns
+    # the ~100x-smaller per-window spread within one epoch) — the same
+    # failure class lfq_norm fixes for LFQ.
+    vq_norm: bool = False
     commitment_cost: float = 0.25
     ema_decay: float = 0.99
     entropy_loss_weight: float = 0.1

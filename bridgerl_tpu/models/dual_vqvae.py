@@ -91,6 +91,20 @@ class DualMotionVQVAE(nn.Module):
         self.robot_encoder = _make_encoder(self.cfg, "robot_encoder")
         self.quantizer = make_quantizer(self.cfg)
         self.robot_decoder = _make_decoder(self.cfg, "robot_decoder")
+        # Opt-in pre-quantizer LayerNorm (parameter-free, shared by both
+        # branches): removes the latents' common-mode component so the
+        # nearest-code search sees per-window structure. Round-3 evidence:
+        # the W64 transformer's mean-pooled latents carry a shared offset
+        # ~100x their per-window spread, and the EMA codebook re-collapses to
+        # one absorber within the first epoch even when data-seeded
+        # (results/log_transformer_hybrid_W64) — the same failure class the
+        # pre-sign LayerNorm measurably cured for LFQ (docs/REF_EXACT.md #5).
+        self._vq_norm = (nn.LayerNorm(use_bias=False, use_scale=False,
+                                      dtype=jnp.float32, name="vq_norm")
+                         if getattr(self.cfg, "vq_norm", False) else None)
+
+    def _pre_quant(self, z_e: jax.Array) -> jax.Array:
+        return self._vq_norm(z_e) if self._vq_norm is not None else z_e
 
     def __call__(
         self,
@@ -101,7 +115,7 @@ class DualMotionVQVAE(nn.Module):
         outputs: Dict[str, Dict[str, Any]] = {}
 
         if x_robot is not None:
-            z_e_robot = self.robot_encoder(x_robot, train=train)
+            z_e_robot = self._pre_quant(self.robot_encoder(x_robot, train=train))
             loss_vq_r, z_q_robot, metrics_r = self.quantizer(z_e_robot, train=train)
             x_recon = self.robot_decoder(z_q_robot, train=train)
             outputs["robot"] = {
@@ -112,7 +126,7 @@ class DualMotionVQVAE(nn.Module):
             }
 
         if x_human is not None:
-            z_e_human = self.human_encoder(x_human, train=train)
+            z_e_human = self._pre_quant(self.human_encoder(x_human, train=train))
             loss_vq_h, z_q_human, metrics_h = self.quantizer(z_e_human, train=train)
             x_retargeted = self.robot_decoder(z_q_human, train=train)
             outputs["human"] = {
@@ -127,10 +141,10 @@ class DualMotionVQVAE(nn.Module):
     # ---- convenience encode/decode used by export + latent analysis ----
 
     def encode_robot(self, x_robot: jax.Array) -> jax.Array:
-        return self.robot_encoder(x_robot, train=False)
+        return self._pre_quant(self.robot_encoder(x_robot, train=False))
 
     def encode_human(self, x_human: jax.Array) -> jax.Array:
-        return self.human_encoder(x_human, train=False)
+        return self._pre_quant(self.human_encoder(x_human, train=False))
 
 
 def init_model(cfg: ModelConfig, rng: jax.Array, batch_size: int = 2):

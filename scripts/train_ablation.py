@@ -103,6 +103,12 @@ def main():
                         "--no-lfq_norm restores reference semantics")
     p.add_argument("--entropy_weight", type=float, default=0.1,
                    help="LFQ entropy regularization weight (reference 0.1)")
+    p.add_argument("--vq_norm", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="Pre-quantizer LayerNorm (parameter-free, both "
+                        "branches): removes the latent common-mode so EMA "
+                        "codes track per-window structure (W64-transformer "
+                        "collapse cure; models/dual_vqvae.py)")
     p.add_argument("--codebook_data_init", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="Seed first-stage EMA codebooks from encoder outputs "
@@ -131,7 +137,8 @@ def main():
     # tri-state CLI switches (None = inherit the config default)
     opt = {k: v for k, v in
            (("fsq_bounded", args.fsq_bounded), ("lfq_norm", args.lfq_norm),
-            ("codebook_data_init", args.codebook_data_init))
+            ("codebook_data_init", args.codebook_data_init),
+            ("vq_norm", args.vq_norm))
            if v is not None}
     exp = make_experiment(
         args.arch, args.method, window=args.window, mode=args.mode,

@@ -101,3 +101,27 @@ def test_noop_for_codebook_free_methods():
     assert jax.tree_util.tree_all(
         jax.tree_util.tree_map(lambda a, b: bool(jnp.all(a == b)),
                                variables, seeded))
+
+
+def test_vq_norm_removes_common_mode_and_adds_no_params():
+    cfg = ModelConfig(arch="resnet", method="hybrid", window_size=16,
+                      human_input_dim=6, robot_input_dim=4, hidden_dim=8,
+                      codebook_size=32)
+    model0, v0 = init_model(cfg, jax.random.key(0))
+    cfgN = ModelConfig(**{**cfg.__dict__, "vq_norm": True})
+    modelN, vN = init_model(cfgN, jax.random.key(0))
+
+    # parameter-free: identical param tree (checkpoints interchangeable)
+    t0 = jax.tree_util.tree_structure(v0["params"])
+    tN = jax.tree_util.tree_structure(vN["params"])
+    assert t0 == tN
+
+    x = 0.05 * jax.random.normal(jax.random.key(1), (32, 16, 4)) + 1.0
+    z = np.asarray(modelN.apply(vN, x, method=modelN.encode_robot), np.float32)
+    flat = z.reshape(-1, z.shape[-1])
+    np.testing.assert_allclose(flat.mean(axis=-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(flat.std(axis=-1), 1.0, atol=1e-2)
+
+    # forward still runs end-to-end with the norm in the graph
+    out = modelN.apply(vN, x, None, train=False)
+    assert out["robot"]["recon"].shape == x.shape
