@@ -148,6 +148,12 @@ class TrainConfig:
     # from epoch 0 — train/codebook_seed.py has the numbers). Init-only;
     # opt-in (teacher mode, fresh starts).
     codebook_data_init: bool = False
+    # Transfer init: checkpoint path (or "{seed}" pattern) whose matching
+    # leaves (same path + shape) initialize this run; mismatched leaves (e.g.
+    # a fresh quantizer absent from an ae checkpoint) keep their init. The
+    # round-3 W64-transformer recipe: pretrain `ae` so latents spread, then
+    # train hybrid from it with codebook_data_init (train/codebook_seed.py).
+    init_from: Optional[str] = None
     # TPU-specific
     data_axis: str = "data"      # mesh axis name for batch sharding
     donate: bool = True

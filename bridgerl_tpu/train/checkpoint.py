@@ -93,6 +93,26 @@ def resolve_teacher_ckpt(pattern: str, seed: int) -> str:
 
 
 
+def merge_matching_variables(target: Dict[str, Any],
+                             source: Dict[str, Any]) -> Dict[str, Any]:
+    """Copy every `source` leaf whose path exists in `target` with the same
+    shape; everything else keeps the fresh init. Cross-architecture transfer
+    init — e.g. an ae-pretrained encoder/decoder into a quantized model whose
+    quantizer stays freshly initialized (the round-3 W64-transformer cure:
+    pretrain without the quantizer so latents spread, then quantize them).
+    `source` is a checkpoint's raw variables state dict."""
+    if isinstance(target, dict):
+        if not isinstance(source, dict):
+            return target
+        return {k: (merge_matching_variables(v, source[k]) if k in source else v)
+                for k, v in target.items()}
+    src = source
+    if getattr(src, "shape", None) == tuple(getattr(target, "shape", ())):
+        import jax.numpy as jnp
+        return jnp.asarray(src, dtype=getattr(target, "dtype", None))
+    return target
+
+
 def is_human_encoder_path(path: Tuple) -> bool:
     return any(getattr(k, "key", getattr(k, "name", None)) == "human_encoder" for k in path)
 

@@ -136,6 +136,24 @@ class MultiSeedTrainer:
         states = init_states_vmapped(exp, seeds, load_teacher=resume_cks is None)
         tx = make_optimizer(exp, jax.tree_util.tree_map(lambda x: x[0], states.params))
 
+        if tcfg.init_from and mode == "teacher" and resume_cks is None:
+            from .checkpoint import (load_checkpoint, merge_matching_variables,
+                                     resolve_teacher_ckpt)
+            host = jax.device_get(states)
+            per_seed = []
+            for i, s in enumerate(seeds):
+                one = jax.tree_util.tree_map(lambda x: x[i], host)
+                variables = merge_matching_variables(
+                    {"params": one.params, **one.rest},
+                    load_checkpoint(resolve_teacher_ckpt(tcfg.init_from, s))
+                    ["variables"])
+                params, rest = split_variables(variables)
+                per_seed.append(TrainState(params, rest, one.opt_state))
+            states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_seed)
+            if self.verbose:
+                print(f"{TermColor.CYAN}    [InitFrom] {tcfg.init_from} x {S} "
+                      f"seeds{TermColor.ENDC}")
+
         if tcfg.codebook_data_init and mode == "teacher" and resume_cks is None:
             from .codebook_seed import seed_codebook_variables
             xb = ds.robot[: tcfg.batch_size]

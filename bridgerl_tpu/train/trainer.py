@@ -300,6 +300,15 @@ class Trainer:
             if self.verbose:
                 print(f"{TermColor.BLUE}    [Student] Loaded teacher: {tpath}{TermColor.ENDC}")
 
+        if (tcfg.init_from and mode == "teacher" and start_epoch == 0
+                and not (tcfg.resume and os.path.exists(last_path))):
+            from .checkpoint import merge_matching_variables, resolve_teacher_ckpt
+            ipath = resolve_teacher_ckpt(tcfg.init_from, seed)
+            ick = load_checkpoint(ipath)
+            variables = merge_matching_variables(variables, ick["variables"])
+            if self.verbose:
+                print(f"{TermColor.CYAN}    [InitFrom] {ipath}{TermColor.ENDC}")
+
         if (tcfg.codebook_data_init and mode == "teacher" and start_epoch == 0
                 and not (tcfg.resume and os.path.exists(last_path))):
             from .codebook_seed import seed_codebook_variables

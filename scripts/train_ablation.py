@@ -103,6 +103,10 @@ def main():
                         "--no-lfq_norm restores reference semantics")
     p.add_argument("--entropy_weight", type=float, default=0.1,
                    help="LFQ entropy regularization weight (reference 0.1)")
+    p.add_argument("--init_from", type=str, default=None,
+                   help="Transfer-init checkpoint path (or '{seed}' pattern): "
+                        "matching leaves initialize this run, the rest stay "
+                        "fresh (e.g. ae-pretrained encoders into hybrid)")
     p.add_argument("--vq_norm", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="Pre-quantizer LayerNorm (parameter-free, both "
@@ -144,6 +148,7 @@ def main():
         args.arch, args.method, window=args.window, mode=args.mode,
         seeds=tuple(args.seed), epochs=args.epochs, batch_size=args.batch_size,
         patience=args.patience, resume=args.resume, teacher_ckpt=args.teacher_ckpt,
+        init_from=args.init_from,
         save_every=args.save_every,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,

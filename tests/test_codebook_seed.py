@@ -125,3 +125,29 @@ def test_vq_norm_removes_common_mode_and_adds_no_params():
     # forward still runs end-to-end with the norm in the graph
     out = modelN.apply(vN, x, None, train=False)
     assert out["robot"]["recon"].shape == x.shape
+
+
+def test_merge_matching_variables_transfers_only_matching_leaves():
+    import flax
+    from bridgerl_tpu.train.checkpoint import merge_matching_variables
+
+    base = dict(arch="resnet_no_down", window_size=8, human_input_dim=6,
+                robot_input_dim=4, hidden_dim=8, codebook_size=16)
+    _, v_ae = init_model(ModelConfig(method="ae", **base), jax.random.key(3))
+    _, v_hy = init_model(ModelConfig(method="hybrid", **base), jax.random.key(4))
+
+    src = flax.serialization.to_state_dict(v_ae)
+    merged = merge_matching_variables(v_hy, src)
+
+    def leaves(v, top):
+        return {jax.tree_util.keystr(p): np.asarray(x) for p, x in
+                jax.tree_util.tree_flatten_with_path(v[top])[0]}
+
+    m, a, h = leaves(merged, "params"), leaves(v_ae, "params"), leaves(v_hy, "params")
+    moved = kept = 0
+    for k in m:
+        if k in a and a[k].shape == m[k].shape:
+            np.testing.assert_array_equal(m[k], a[k]); moved += 1
+        else:
+            np.testing.assert_array_equal(m[k], h[k]); kept += 1
+    assert moved > 0 and kept > 0, (moved, kept)  # encoders moved, quantizer kept
