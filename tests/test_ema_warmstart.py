@@ -154,7 +154,11 @@ def test_flagship_shaped_multiseed_ppl_no_collapse(tmp_path):
                               checkpoint_dir=_os.path.join(tmp_path, "ckpts"))
     hist = MultiSeedTrainer(exp, verbose=False).run(ds)
     for s, h in hist.items():
-        # RVQ must spread over many codes immediately (collapse sat at 1.0)
-        assert h["rvq_ppl"][-1] > 5.0, (s, h["rvq_ppl"])
+        # RVQ must spread over many codes immediately — the round-1 collapse
+        # pinned this at exactly 1.0. Under the round-3 bounded-FSQ default
+        # the FSQ arm absorbs more structure and this tiny 64-code config's
+        # healthy RVQ spread oscillates around 4-6, so the bound is a
+        # collapse detector, not a spread target.
+        assert h["rvq_ppl"][-1] > 3.0, (s, h["rvq_ppl"])
         # and recon must actually move off the constant-output plateau
         assert h["val_recon"][-1] < 0.9 * h["val_recon"][0], (s, h["val_recon"])
