@@ -289,3 +289,53 @@ def test_multiseed_student_merges_teacher_into_every_seed(tiny_data, tmp_path):
     # human_encoder stays per-seed independent (different inits)
     h = first_kernel(states.params["human_encoder"])
     assert not np.allclose(h[0], h[1])
+
+
+# ---------- two-stage transfer (init_from + codebook_data_init) ----------
+
+def test_two_stage_init_from_and_codebook_seed_through_trainer(tiny_data, tmp_path):
+    """Round-3 W64-transformer cure pinned at the Trainer level: a stage-1 ae
+    pretrain feeds a quantized stage-2 run through `init_from` (matching
+    encoder/decoder leaves transferred, quantizer fresh) with a data-seeded
+    first-stage codebook. An `epochs=0` stage-2 run writes its `_final`
+    checkpoint BEFORE any update, so it is exactly the stage-2 initialization
+    and every contract can be asserted deterministically."""
+    from bridgerl_tpu.train.checkpoint import restore_variables
+
+    exp_ae = small_exp(str(tmp_path), epochs=2, method="ae")
+    Trainer(exp_ae, verbose=False).train_seed(tiny_data, 42)
+    ae_best = os.path.join(
+        exp_ae.checkpoint_dir,
+        "Exp_resnet_no_down_W10_ae_teacher_seed_{seed}_best.ckpt")
+
+    exp_hy = small_exp(os.path.join(str(tmp_path), "s2"), epochs=0,
+                       method="hybrid", init_from=ae_best,
+                       codebook_data_init=True)
+    Trainer(exp_hy, verbose=False).train_seed(tiny_data, 42)
+
+    ae_ck = load_checkpoint(ae_best.format(seed=42))
+    hy_ck = load_checkpoint(os.path.join(
+        exp_hy.checkpoint_dir,
+        "Exp_resnet_no_down_W10_hybrid_teacher_seed_42_final.ckpt"))
+
+    # matching encoder/decoder leaves transferred verbatim from the ae best
+    for mod in ("robot_encoder", "robot_decoder", "human_encoder"):
+        jax.tree_util.tree_map(
+            lambda a, h: np.testing.assert_array_equal(np.asarray(a), np.asarray(h)),
+            ae_ck["variables"]["params"][mod], hy_ck["variables"]["params"][mod])
+
+    # first-stage codebook was seeded FROM THE DATA: with the transferred
+    # encoder, every code sits within jitter distance of a real latent sample
+    # (trainer seeds from ds.robot[:batch_size], trainer.py:312-319)
+    model, template = init_model(exp_hy.model, jax.random.key(0))
+    variables = restore_variables(template, hy_ck["variables"])
+    z = model.apply(variables, tiny_data.robot[: exp_hy.train.batch_size],
+                    method=model.encode_robot)
+    flat = np.asarray(z, np.float32).reshape(-1, z.shape[-1])
+    vq0 = np.asarray(variables["qstats"]["quantizer"]["rvq"]["vq_0"]["embedding"],
+                     np.float32)
+    d = np.linalg.norm(vq0[:, None, :] - flat[None, :, :], axis=-1).min(axis=1)
+    scale = np.linalg.norm(flat, axis=1).mean()
+    assert d.max() < 0.05 * scale, (d.max(), scale)
+    np.testing.assert_array_equal(
+        np.asarray(variables["qstats"]["quantizer"]["rvq"]["vq_0"]["ema_w"]), vq0)
