@@ -215,7 +215,7 @@ class CheapDropout(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.deterministic or self.rate <= 0.0:
             return x
-        thresh = int(round(self.rate * 256.0))
+        thresh = min(int(round(self.rate * 256.0)), 255)  # 256 overflows uint8
         if thresh <= 0:
             return x
         q_rate = thresh / 256.0
@@ -244,7 +244,7 @@ def cheap_attn_dropout_fn(query, key, value, bias=None, mask=None,
         weights = jnp.where(mask, weights, jnp.finfo(weights.dtype).min)
     weights = jax.nn.softmax(weights.astype(jnp.float32)).astype(weights.dtype)
     if not deterministic and dropout_rate > 0.0 and dropout_rng is not None:
-        thresh = int(round(dropout_rate * 256.0))
+        thresh = min(int(round(dropout_rate * 256.0)), 255)  # 256 overflows uint8
         if thresh > 0:
             q_rate = thresh / 256.0
             if broadcast_dropout and weights.ndim >= 4:

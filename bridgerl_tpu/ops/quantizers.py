@@ -234,9 +234,14 @@ class FSQ(nn.Module):
             # Mentzer-style bound: tanh-squash each level to exactly L integer
             # values. Even levels need a half-offset so round() hits L codes.
             lv = jnp.asarray(self.levels, jnp.float32)
-            half = (lv - 1.0) / 2.0
+            # official-FSQ bound (Mentzer et al. reference code): the (1-eps)
+            # shrink plus tan() keeps the even-level shift FINITE at L=2,
+            # where arctanh(offset/half) = arctanh(1) = +inf would collapse
+            # the dimension to one code with zero gradient. For L>=3 the two
+            # agree to ~1e-4 and forward codes are identical.
+            half = (lv - 1.0) * (1.0 - 1e-3) / 2.0
             offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
-            shift = jnp.arctanh(offset / jnp.maximum(half, 1e-6))
+            shift = jnp.tan(offset / half)
             zb = jnp.tanh(zp + shift) * half - offset
             z_hard = zb + jax.lax.stop_gradient(jnp.round(zb) - zb)
         else:

@@ -170,8 +170,13 @@ def serve_viewer(html: str, port: int = 8731,
         def log_message(self, *a):
             pass
 
-    with socketserver.TCPServer(("127.0.0.1", port), Handler) as srv:
-        srv.allow_reuse_address = True
+    class _Server(socketserver.TCPServer):
+        # must be a CLASS attribute: TCPServer.__init__ binds the socket, so
+        # setting it on the instance afterwards never applies SO_REUSEADDR
+        # (relaunch within TIME_WAIT would fail with EADDRINUSE)
+        allow_reuse_address = True
+
+    with _Server(("127.0.0.1", port), Handler) as srv:
         print(f"[INFO] Live viewport: http://127.0.0.1:{port}/  (Ctrl-C stops)")
         if max_requests is None:
             srv.serve_forever()

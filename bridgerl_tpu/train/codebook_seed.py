@@ -49,7 +49,9 @@ def _seed_qstats(node: Any, name: str, flat: jax.Array) -> Any:
         if flat.shape[-1] != D:
             return node  # dimension mismatch: not this encoder's codebook
         n = flat.shape[0]
-        idx = (jnp.arange(K) * n) // jnp.maximum(n, 1)
+        # even stride over the n samples (max index (K-1)*n//K <= n-1, so no
+        # out-of-bounds clamping; n < K duplicates samples, jitter de-dupes)
+        idx = (jnp.arange(K) * jnp.maximum(n, 1)) // K
         samples = flat[idx].astype(emb.dtype)
         # deterministic jitter de-duplicates repeated windows without moving
         # codes off the data manifold (scale: 1e-3 of the per-dim spread)

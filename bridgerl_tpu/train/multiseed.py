@@ -101,6 +101,36 @@ class MultiSeedTrainer:
         return os.path.join(self.exp.checkpoint_dir,
                             self.exp.ckpt_name(seed, kind) + ".ckpt")
 
+    @staticmethod
+    def _restack(states: TrainState, per_seed_fn) -> TrainState:
+        """Host-side per-seed rebuild of a stacked TrainState: ONE batched
+        device_get (per-leaf fetches dominate on tunneled TPUs), unstack,
+        ``per_seed_fn(i, one) -> TrainState``, restack. Shared by the
+        init_from / resume / best-reload paths (checkpoint IO is host-side
+        by nature)."""
+        host = jax.device_get(states)
+        per_seed = [
+            per_seed_fn(i, jax.tree_util.tree_map(lambda x, i=i: x[i], host))
+            for i in range(jax.tree_util.tree_leaves(host)[0].shape[0])]
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_seed)
+
+    @staticmethod
+    def _restore_from_ck(one: TrainState, ck: Dict) -> TrainState:
+        """One seed's TrainState rebuilt from a checkpoint dict (variables
+        always; optimizer moments best-effort — old/foreign checkpoints may
+        carry an incompatible opt tree)."""
+        from .checkpoint import restore_opt_state, restore_variables
+        variables = restore_variables(
+            {"params": one.params, **one.rest}, ck["variables"])
+        params, rest = split_variables(variables)
+        opt = one.opt_state
+        if ck.get("opt_state"):
+            try:
+                opt = restore_opt_state(opt, ck["opt_state"])
+            except Exception:
+                pass
+        return TrainState(params, rest, opt)
+
     def run(self, ds: PairedDataset) -> Dict[int, Dict[str, list]]:
         exp, tcfg = self.exp, self.exp.train
         seeds = list(tcfg.seeds)
@@ -139,17 +169,17 @@ class MultiSeedTrainer:
         if tcfg.init_from and mode == "teacher" and resume_cks is None:
             from .checkpoint import (load_checkpoint, merge_matching_variables,
                                      resolve_teacher_ckpt)
-            host = jax.device_get(states)
-            per_seed = []
-            for i, s in enumerate(seeds):
-                one = jax.tree_util.tree_map(lambda x: x[i], host)
+
+            def _init_one(i, one):
                 variables = merge_matching_variables(
                     {"params": one.params, **one.rest},
-                    load_checkpoint(resolve_teacher_ckpt(tcfg.init_from, s))
+                    load_checkpoint(resolve_teacher_ckpt(tcfg.init_from,
+                                                         seeds[i]))
                     ["variables"])
                 params, rest = split_variables(variables)
-                per_seed.append(TrainState(params, rest, one.opt_state))
-            states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_seed)
+                return TrainState(params, rest, one.opt_state)
+
+            states = self._restack(states, _init_one)
             if self.verbose:
                 print(f"{TermColor.CYAN}    [InitFrom] {tcfg.init_from} x {S} "
                       f"seeds{TermColor.ENDC}")
@@ -171,22 +201,8 @@ class MultiSeedTrainer:
 
         start_epoch = 0
         if resume_cks is not None:
-            from .checkpoint import restore_opt_state, restore_variables
-            host = jax.device_get(states)
-            per_seed = []
-            for i, ck in enumerate(resume_cks):
-                one = jax.tree_util.tree_map(lambda x: x[i], host)
-                variables = restore_variables(
-                    {"params": one.params, **one.rest}, ck["variables"])
-                params, rest = split_variables(variables)
-                opt = one.opt_state
-                if ck["opt_state"]:
-                    try:
-                        opt = restore_opt_state(opt, ck["opt_state"])
-                    except Exception:
-                        pass
-                per_seed.append(TrainState(params, rest, opt))
-            states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_seed)
+            states = self._restack(
+                states, lambda i, one: self._restore_from_ck(one, resume_cks[i]))
             start_epoch = min(ck["epoch"] for ck in resume_cks) + 1
             if self.verbose:
                 print(f"{TermColor.CYAN}    [Resume] {S} per-seed `_last` "
@@ -255,28 +271,17 @@ class MultiSeedTrainer:
         if resume_cks is not None:
             # seed the on-device best tracker from the `_best` checkpoints so
             # a resumed run that never improves doesn't clobber a better best
-            from .checkpoint import load_checkpoint, restore_opt_state, restore_variables
-            host_best = jax.device_get(best_states)
-            per_seed_best = []
-            for i, s in enumerate(seeds):
-                one = jax.tree_util.tree_map(lambda x: x[i], host_best)
-                bp = self._ckpt_path(s, "best")
-                if os.path.exists(bp):
-                    bck = load_checkpoint(bp)
-                    variables = restore_variables(
-                        {"params": one.params, **one.rest}, bck["variables"])
-                    params, rest = split_variables(variables)
-                    opt = one.opt_state
-                    if bck["opt_state"]:
-                        try:
-                            opt = restore_opt_state(opt, bck["opt_state"])
-                        except Exception:
-                            pass
-                    one = TrainState(params, rest, opt)
-                    best_epoch[s] = bck["epoch"]
-                per_seed_best.append(one)
-            best_states = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *per_seed_best)
+            from .checkpoint import load_checkpoint
+
+            def _best_one(i, one):
+                bp = self._ckpt_path(seeds[i], "best")
+                if not os.path.exists(bp):
+                    return one
+                bck = load_checkpoint(bp)
+                best_epoch[seeds[i]] = bck["epoch"]
+                return self._restore_from_ck(one, bck)
+
+            best_states = self._restack(best_states, _best_one)
 
         @jax.jit
         def select_better(best_tree, cur_tree, improved):
@@ -288,11 +293,11 @@ class MultiSeedTrainer:
         for epoch in range(start_epoch, tcfg.epochs):
             last_epoch = epoch
             idx_mats, key_mats = [], []
-            for s in seeds:
+            for i, s in enumerate(seeds):
                 ekey = jax.random.fold_in(root_keys[s], epoch)
                 perm_key, drop_key = jax.random.split(ekey)
                 local = epoch_batch_indices(perm_key, n_train, batch)  # into train subset
-                idx_mats.append(jnp.take(train_idx[seeds.index(s)], local))  # global ids
+                idx_mats.append(jnp.take(train_idx[i], local))  # global ids
                 key_mats.append(jax.random.split(drop_key, nb))
             idx_stack = jnp.stack(idx_mats)   # (S, nb, B)
             key_stack = jnp.stack(key_mats)   # (S, nb)

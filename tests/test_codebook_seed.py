@@ -151,3 +151,27 @@ def test_merge_matching_variables_transfers_only_matching_leaves():
         else:
             np.testing.assert_array_equal(m[k], h[k]); kept += 1
     assert moved > 0 and kept > 0, (moved, kept)  # encoders moved, quantizer kept
+
+
+def test_seeding_strides_evenly_over_the_batch():
+    """Regression: the old index formula (arange(K)*n)//n reduced to
+    arange(K) — the first K rows, not an even stride. With latents whose
+    value encodes their batch position, the seeded codes must span the whole
+    sample range (and never index out of bounds when n < K)."""
+    from bridgerl_tpu.train.codebook_seed import _seed_qstats
+
+    K, Dd = 32, 4
+    n = 4 * K
+    flat = jnp.tile(jnp.arange(n, dtype=jnp.float32)[:, None], (1, Dd))
+    node = {"embedding": jnp.zeros((K, Dd)), "ema_w": jnp.zeros((K, Dd)),
+            "ema_cluster_size": jnp.zeros((K,))}
+    emb = np.asarray(_seed_qstats(node, "", flat)["embedding"])
+    # last code comes from the tail of the batch, not row K-1
+    assert emb[-1, 0] > 0.9 * n, emb[-1, 0]
+    assert emb[0, 0] < 0.1 * n
+
+    # n < K: every index stays in bounds (max (K-1)*n//K <= n-1)
+    small = flat[:8]
+    emb2 = np.asarray(_seed_qstats(node, "", small)["embedding"])
+    assert np.isfinite(emb2).all()
+    assert emb2[:, 0].max() <= float(small[-1, 0]) + 1.0  # on the data, jittered

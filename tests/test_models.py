@@ -165,6 +165,17 @@ def test_cheap_attn_fn_matches_stock_when_deterministic():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
+def test_cheap_dropout_extreme_rate_no_overflow():
+    """Regression: rate >= 255.5/256 rounded the uint8 threshold to 256,
+    raising OverflowError at trace time; the threshold clamps to 255."""
+    from bridgerl_tpu.models.layers import CheapDropout
+
+    x = jnp.ones((8, 8))
+    d = CheapDropout(1.0, deterministic=False)
+    out = np.asarray(d.apply({}, x, rngs={"dropout": jax.random.key(0)}))
+    assert np.isfinite(out).all()  # no crash; ~255/256 dropped
+
+
 def test_cheap_dropout_model_trains():
     """Flagship-shaped model with cheap_dropout=True runs a train-mode forward
     with dropout rngs and matches the stock model exactly in EVAL mode (the

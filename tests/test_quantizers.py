@@ -206,9 +206,9 @@ def test_fsq_bounded_stays_within_nominal_grid():
     bin_ = _np.asarray(vs["params"]["project_in"]["bias"])
     zp = _np.asarray(z).reshape(-1, D) @ kin + bin_
     lv = _np.asarray(levels, _np.float32)
-    half = (lv - 1.0) / 2.0
+    half = (lv - 1.0) * (1.0 - 1e-3) / 2.0  # official-FSQ bound (see FSQ)
     offset = _np.where(lv % 2 == 0, 0.5, 0.0)
-    shift = _np.arctanh(offset / half)
+    shift = _np.tan(offset / half)
     zb = _np.round(_np.tanh(zp + shift) * half - offset)
     for d, L in enumerate(levels):
         vals = _np.unique(zb[:, d])
@@ -226,6 +226,26 @@ def test_fsq_bounded_stays_within_nominal_grid():
 
     g = jax.grad(f)(_z())
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_fsq_bounded_binary_levels_stay_alive():
+    """Regression: L=2 levels made the old arctanh(1)=inf shift collapse the
+    dimension to ONE constant code with zero gradient; the official-FSQ
+    tan/(1-eps) bound keeps binary FSQ finite, 2-valued, and trainable."""
+    levels = (2, 2, 2, 2)
+    q = FSQ(levels=levels, input_dim=D, bounded=True)
+    z = _z()
+    vs = q.init({"params": KEY}, z)
+    _, out, m = q.apply(vs, z)
+    assert np.isfinite(np.asarray(out)).all()
+    assert float(m["perplexity"]) >= 2.0  # more than one reachable code
+
+    # gradient must flow through every binary dimension (tanh not saturated)
+    def f(zz):
+        return q.apply(vs, zz)[1].sum()
+
+    g = np.asarray(jax.grad(f)(z))
+    assert np.isfinite(g).all() and np.abs(g).max() > 1e-6
 
 
 # ---------- LFQ ----------
