@@ -166,6 +166,14 @@ class TrainConfig:
     # 16384 on 16 GB v5e HBM). EMA `qstats` / BatchNorm stats update once per
     # microbatch, i.e. exactly the reference's semantics at batch_size/accum.
     accum_chunks: int = 1
+    # Reuse ONE dropout mask across the microbatches of an accumulated step:
+    # the mask computation becomes loop-invariant w.r.t. the microbatch scan,
+    # so XLA's while-loop LICM can hoist the PRNG work (the measured ~10%
+    # mask-generation cost at micro-512, perf_battery.md) out of the inner
+    # loop — masks are generated once per OPTIMIZER batch instead of once per
+    # microbatch. Regularization consequence: all microbatches of one update
+    # drop the same units (different data); opt-in pending the quality A/B.
+    reuse_dropout_mask: bool = False
 
     def __post_init__(self):
         if self.mode not in MODES:

@@ -133,6 +133,7 @@ def make_train_epoch(
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     accum = max(int(getattr(tcfg, "accum_chunks", 1)), 1)
+    reuse_mask = bool(getattr(tcfg, "reuse_dropout_mask", False))
 
     def train_epoch(state: TrainState, robot, human, idx_mat, keys):
         def batch_grads(params, rest, idx, key):
@@ -155,11 +156,18 @@ def make_train_epoch(
                 return grads, new_rest, logs
 
             idx_c = idx.reshape(acc, idx.shape[0] // acc)
-            keys_c = jax.random.split(key, acc)
+            # reuse_dropout_mask: the dropout key is CLOSED OVER by the scan
+            # body (loop-invariant) instead of scanned over, so the PRNG mask
+            # generation is hoisted out of the microbatch loop by XLA LICM —
+            # one mask per optimizer batch (config.py TrainConfig docstring).
+            keys_c = None if reuse_mask else jax.random.split(key, acc)
 
             def micro(carry, xs):
                 rest_c, gsum = carry
-                idx2, key2 = xs
+                if reuse_mask:
+                    idx2, key2 = xs, key
+                else:
+                    idx2, key2 = xs
                 x_r = shard_batch(mesh, jnp.take(robot, idx2, axis=0))
                 x_h = shard_batch(mesh, jnp.take(human, idx2, axis=0)) if mode == "student" else None
                 (_, (new_rest, logs)), g = grad_fn(params, rest_c, x_r, x_h, key2)
@@ -167,7 +175,8 @@ def make_train_epoch(
                 return (new_rest, gsum), logs
 
             gzero = jax.tree_util.tree_map(jnp.zeros_like, params)
-            (new_rest, gsum), logs = jax.lax.scan(micro, (rest, gzero), (idx_c, keys_c))
+            (new_rest, gsum), logs = jax.lax.scan(
+                micro, (rest, gzero), idx_c if reuse_mask else (idx_c, keys_c))
             grads = jax.tree_util.tree_map(lambda g: g / acc, gsum)
             return grads, new_rest, jax.tree_util.tree_map(jnp.mean, logs)
 

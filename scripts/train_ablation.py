@@ -95,6 +95,10 @@ def main():
                    help="uint8-bit dropout masks (8 PRNG bits/element; keep "
                         "prob quantized to 1/256) — measured mask-gen cost "
                         "cure, see perf_battery.md")
+    p.add_argument("--reuse_dropout_mask", action="store_true",
+                   help="One dropout mask per optimizer batch, shared across "
+                        "accumulation microbatches (XLA hoists the PRNG work "
+                        "out of the microbatch scan; see config.py)")
     p.add_argument("--lfq_norm", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="LFQ pre-sign LayerNorm (stops the measured STE scale "
@@ -154,6 +158,7 @@ def main():
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention,
         cheap_dropout=args.cheap_dropout,
+        reuse_dropout_mask=args.reuse_dropout_mask,
         entropy_loss_weight=args.entropy_weight,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
         compute_dtype="bfloat16" if args.bf16 else "float32",

@@ -18,11 +18,12 @@ from bridgerl_tpu.models import init_model
 from bridgerl_tpu.train import TrainState, make_optimizer, make_train_epoch, split_variables
 
 
-def build(method, accum, dropout=0.0, batch=64, sgd=False):
+def build(method, accum, dropout=0.0, batch=64, sgd=False, reuse=False):
     exp = make_experiment(
         "transformer", method, window=10, mode="teacher",
         hidden_dim=16, codebook_size=32, d_model=32, ff_dim=64, n_tf_layers=1,
         batch_size=batch, accum_chunks=accum, dropout=dropout,
+        reuse_dropout_mask=reuse,
     )
     model, variables = init_model(exp.model, jax.random.key(0))
     params, rest = split_variables(variables)
@@ -80,6 +81,58 @@ def test_accum_config_roundtrip():
     exp = make_experiment("transformer", "ae", window=10, batch_size=64, accum_chunks=4)
     assert exp.train.accum_chunks == 4
     assert dataclasses.asdict(exp.train)["accum_chunks"] == 4
+
+
+def test_reuse_dropout_mask_bit_matches_when_dropout_off():
+    """With dropout=0 the reused-key path must be bit-identical to the
+    per-microbatch-key path (the flag only changes RNG threading)."""
+    _, s0, f0 = build("ae", accum=4, sgd=True)
+    _, s1, f1 = build("ae", accum=4, sgd=True, reuse=True)
+    out0, logs0 = run_epoch(f0, s0, steps=1)
+    out1, logs1 = run_epoch(f1, s1, steps=1)
+    for a, b in zip(jax.tree_util.tree_leaves(out0.params),
+                    jax.tree_util.tree_leaves(out1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(logs0["train_loss"]) == float(logs1["train_loss"])
+
+
+def test_reuse_dropout_mask_shares_mask_across_microbatches():
+    """Semantics probe through the REAL trainer path: feed 4 IDENTICAL
+    microbatches. With reuse, every micro sees the same data AND the same
+    mask, so the accumulated step must bit-match the accum=1 step on one
+    microbatch (g+g+g+g = 4g exactly, /4 exact). With fresh per-micro keys
+    the masks differ, so the same comparison must NOT match."""
+    import optax
+
+    window = jax.random.normal(jax.random.key(1), (8, 10, 29), jnp.float32)
+    human32 = jnp.zeros((32, 10, 126), jnp.float32)
+
+    def step(batch, accum, reuse, robot):
+        exp = make_experiment(
+            "transformer", "ae", window=10, mode="teacher",
+            hidden_dim=16, codebook_size=32, d_model=32, ff_dim=64,
+            n_tf_layers=1, batch_size=batch, accum_chunks=accum, dropout=0.5,
+            reuse_dropout_mask=reuse)
+        model, variables = init_model(exp.model, jax.random.key(0))
+        params, rest = split_variables(variables)
+        tx = optax.sgd(1.0)
+        state = TrainState(params, rest, tx.init(params))
+        fn = make_train_epoch(model, tx, exp, mesh=None)
+        idx = jnp.arange(robot.shape[0]).reshape(1, robot.shape[0])
+        keys = jax.random.split(jax.random.key(3), 1)
+        out, logs = fn(state, robot, human32[: robot.shape[0]], idx, keys)
+        return jax.tree_util.tree_leaves(out.params), float(logs["train_loss"])
+
+    tiled = jnp.tile(window, (4, 1, 1))  # 4 identical microbatches of 8
+    p_mono, l_mono = step(8, 1, False, window)       # accum=1: key used directly
+    p_reuse, l_reuse = step(32, 4, True, tiled)      # reuse: every micro gets `key`
+    p_fresh, l_fresh = step(32, 4, False, tiled)     # fresh per-micro keys
+
+    for a, b in zip(p_mono, p_reuse):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(l_mono, l_reuse, rtol=1e-6)
+    assert abs(l_mono - l_fresh) > 1e-6  # fresh masks genuinely differ
 
 
 def test_accum_clamps_to_divisor_on_small_batches():
