@@ -168,11 +168,14 @@ class TrainConfig:
     accum_chunks: int = 1
     # Reuse ONE dropout mask across the microbatches of an accumulated step:
     # the mask computation becomes loop-invariant w.r.t. the microbatch scan,
-    # so XLA's while-loop LICM can hoist the PRNG work (the measured ~10%
-    # mask-generation cost at micro-512, perf_battery.md) out of the inner
-    # loop — masks are generated once per OPTIMIZER batch instead of once per
-    # microbatch. Regularization consequence: all microbatches of one update
-    # drop the same units (different data); opt-in pending the quality A/B.
+    # in principle letting XLA's while-loop LICM hoist the PRNG work (the
+    # measured ~10% mask-generation cost at micro-512) out of the inner loop.
+    # MEASURED: it does NOT pay — 220.1k -> 208.6k win/s at the headline
+    # 16384@micro512 and neutral at micro256 (perf_battery.md round-3); XLA
+    # either re-materializes the masks per iteration or the hoisted buffers'
+    # liveness costs more than the PRNG saved. Kept as a documented negative
+    # result; regularization semantics differ (all microbatches of one update
+    # drop the same units), so it would also need a quality A/B before use.
     reuse_dropout_mask: bool = False
 
     def __post_init__(self):
