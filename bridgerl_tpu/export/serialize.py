@@ -1,0 +1,161 @@
+"""Serving artifacts: freeze a trained retargeter into portable StableHLO.
+
+The reference has no serving story — deployment re-loads torch checkpoints
+inside Python and needs the model class importable (reference
+scripts/deployment/export_motion.py:112-151 rebuilds DualMotionVQVAE and
+sniffs dims from weight shapes). The TPU-native inversion: `jax.export`
+lowers the jitted inference functions ONCE to StableHLO; the serialized
+artifact then executes on any host with plain jax — no bridgerl_tpu code,
+no checkpoint, no config. Weights AND normalization stats are constants in
+the graph (raw motion in, raw motion out), the batch dimension stays
+symbolic so one artifact serves any request size, and both `cpu` and `tpu`
+lowerings are embedded so the same file serves a laptop and a pod worker.
+
+Artifact layout (one .zip):
+    meta.json      — format tag, config JSON, per-function signatures,
+                     provenance (source checkpoint, jax version, platforms)
+    <fn>.bin       — serialized ``jax.export.Exported`` per function
+
+Exported functions (all float32, channel-last, batch-polymorphic):
+    retarget    (b, W, 126) raw human 6D-rotation windows -> (b, W, 29) raw
+                robot joint positions (the product path: human encoder ->
+                shared quantizer -> robot decoder, models/dual_vqvae.py)
+    robot_recon (b, W, 29) raw robot windows -> (b, W, 29) reconstruction
+                (the export/replay path)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_TAG = "bridgerl-serving-v1"
+
+
+def _load_stats_pair(data_dir: str, mean_name: str, std_name: str,
+                     dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Saved per-dim stats with the reference's identity fallback
+    (export_motion.py:16-23), broadcast to full width so they bake into the
+    graph at a fixed shape."""
+    try:
+        mean = np.load(os.path.join(data_dir, mean_name)).astype(np.float32)
+        std = np.load(os.path.join(data_dir, std_name)).astype(np.float32)
+    except FileNotFoundError:
+        mean, std = np.zeros(dim, np.float32), np.ones(dim, np.float32)
+    return np.broadcast_to(mean, (dim,)).copy(), np.broadcast_to(std, (dim,)).copy()
+
+
+def make_serving_fns(model, variables, robot_stats, human_stats) -> Dict[str, Callable]:
+    """Raw-in/raw-out inference closures; weights + stats become constants
+    when exported."""
+    r_mean, r_std = (jnp.asarray(a) for a in robot_stats)
+    h_mean, h_std = (jnp.asarray(a) for a in human_stats)
+
+    def retarget(x_human):
+        norm = (x_human - h_mean) / h_std
+        out = model.apply(variables, x_human=norm, train=False)
+        return out["human"]["retargeted"].astype(jnp.float32) * r_std + r_mean
+
+    def robot_recon(x_robot):
+        norm = (x_robot - r_mean) / r_std
+        out = model.apply(variables, x_robot=norm, train=False)
+        return out["robot"]["recon"].astype(jnp.float32) * r_std + r_mean
+
+    return {"retarget": retarget, "robot_recon": robot_recon}
+
+
+def export_serving_artifact(
+    ckpt_path: str,
+    out_path: str,
+    data_dir: str = "data/processed",
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> Dict[str, Any]:
+    """Freeze the checkpoint's model into a self-contained serving artifact.
+
+    Returns the artifact metadata (also written as meta.json inside the zip).
+    """
+    from .motion_export import load_model_from_checkpoint
+
+    model, variables, exp = load_model_from_checkpoint(ckpt_path)
+    W = exp.model.window_size
+    r_dim = exp.model.robot_input_dim
+    h_dim = exp.model.human_input_dim
+    robot_stats = _load_stats_pair(data_dir, "mean.npy", "std.npy", r_dim)
+    human_stats = _load_stats_pair(data_dir, "human_mean.npy", "human_std.npy", h_dim)
+    fns = make_serving_fns(model, variables, robot_stats, human_stats)
+    in_dims = {"retarget": h_dim, "robot_recon": r_dim}
+
+    meta: Dict[str, Any] = {
+        "format": FORMAT_TAG,
+        "config_json": exp.to_json(),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "source_checkpoint": os.path.abspath(ckpt_path),
+        "functions": {},
+    }
+    blobs: Dict[str, bytes] = {}
+    for name, fn in fns.items():
+        shape = jax.export.symbolic_shape(f"b, {W}, {in_dims[name]}")
+        arg = jax.ShapeDtypeStruct(shape, jnp.float32)
+        exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
+        blobs[name] = exported.serialize()
+        meta["functions"][name] = {
+            "input": ["b", W, in_dims[name]],
+            "output": ["b", W, r_dim],
+            "dtype": "float32",
+        }
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        for name, blob in blobs.items():
+            zf.writestr(f"{name}.bin", blob)
+    os.replace(tmp, out_path)
+    return meta
+
+
+@dataclass
+class ServingModule:
+    """A loaded serving artifact: metadata + jitted callables.
+
+    ``fns[name]`` replays the embedded StableHLO through jax on whatever
+    backend is active — bridgerl_tpu model code is NOT needed (and not used).
+    """
+
+    meta: Dict[str, Any]
+    fns: Dict[str, Callable]
+
+    def __getitem__(self, name: str) -> Callable:
+        return self.fns[name]
+
+    def retarget(self, x_human) -> jax.Array:
+        return self.fns["retarget"](jnp.asarray(x_human, jnp.float32))
+
+    def robot_recon(self, x_robot) -> jax.Array:
+        return self.fns["robot_recon"](jnp.asarray(x_robot, jnp.float32))
+
+    @property
+    def window_size(self) -> int:
+        return int(self.meta["functions"]["retarget"]["input"][1])
+
+
+def load_serving_artifact(path: str) -> ServingModule:
+    with zipfile.ZipFile(path) as zf:
+        meta = json.loads(zf.read("meta.json"))
+        if meta.get("format") != FORMAT_TAG:
+            raise ValueError(f"{path}: unknown artifact format {meta.get('format')!r}")
+        fns: Dict[str, Callable] = {}
+        for name in meta["functions"]:
+            exported = jax.export.deserialize(bytearray(zf.read(f"{name}.bin")))
+            # jit the call so repeated serving requests at one batch size
+            # compile once; symbolic b still admits any batch size.
+            fns[name] = jax.jit(exported.call)
+    return ServingModule(meta=meta, fns=fns)

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Freeze a trained checkpoint into a self-contained StableHLO serving
+artifact (and optionally smoke-test it back).
+
+The reference has no serving path — its deployment scripts re-import the
+model class and torch checkpoint on every host (reference
+scripts/deployment/export_motion.py:112-151). The artifact produced here
+runs on plain jax with no bridgerl_tpu import, any batch size, cpu or tpu.
+
+    python scripts/export_serving.py --ckpt ckpts/..._best.ckpt \
+        --out serving/flagship.zip --data_dir data/processed --check
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--out", type=str, required=True, help="output .zip path")
+    p.add_argument("--data_dir", type=str, default="./data/processed",
+                   help="normalization stats source (mean/std npy)")
+    p.add_argument("--platforms", type=str, default="cpu,tpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and run a 2-window smoke batch")
+    args = p.parse_args()
+
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    from bridgerl_tpu.export import export_serving_artifact, load_serving_artifact
+
+    meta = export_serving_artifact(
+        args.ckpt, args.out, data_dir=args.data_dir,
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()))
+    for name, sig in meta["functions"].items():
+        print(f"  {name}: {sig['input']} -> {sig['output']}")
+    print(f"wrote {args.out} (platforms={meta['platforms']})")
+
+    if args.check:
+        import numpy as np
+        mod = load_serving_artifact(args.out)
+        W = mod.window_size
+        h_dim = mod.meta["functions"]["retarget"]["input"][2]
+        out = mod.retarget(np.zeros((2, W, h_dim), np.float32))
+        assert np.all(np.isfinite(np.asarray(out))), "non-finite serving output"
+        print(f"check ok: retarget (2, {W}, {h_dim}) -> {tuple(out.shape)}")
+
+
+if __name__ == "__main__":
+    main()

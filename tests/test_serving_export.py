@@ -1,0 +1,215 @@
+"""Serving-artifact tests: StableHLO export/load roundtrip.
+
+The reference has no serving story (deployment re-imports the model class and
+re-loads torch checkpoints, scripts/deployment/export_motion.py:112-151); the
+serving artifact is the TPU-native superset. These tests pin its contract:
+
+- numerics: artifact outputs == direct model apply with baked-in stats
+- batch polymorphism: one export serves any request batch size
+- self-containment: loading uses only the zip (no checkpoint / config files)
+- format gating: unknown artifacts are rejected, identity stats fall back
+"""
+
+import dataclasses
+import json
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from bridgerl_tpu.config import make_experiment
+from bridgerl_tpu.data import PairedDataset, generate_synthetic_dataset
+from bridgerl_tpu.export.serialize import (
+    FORMAT_TAG,
+    export_serving_artifact,
+    load_serving_artifact,
+    make_serving_fns,
+)
+from bridgerl_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_artifact(tmp_path_factory):
+    """One trained tiny checkpoint exported to a serving zip, shared across
+    tests (training + two platform lowerings is the slow part)."""
+    tmp_path = tmp_path_factory.mktemp("serving")
+    data_dir = str(tmp_path / "processed")
+    arrays = generate_synthetic_dataset(data_dir, n_sequences=3, min_len=30,
+                                        max_len=50, window=10, step=2, seed=0)
+    ds = PairedDataset.from_numpy(arrays["g1_train.npy"], arrays["human_train.npy"])
+    exp = make_experiment("resnet_no_down", "ae", window=10, epochs=1,
+                          batch_size=32, hidden_dim=16, num_res_layers=1)
+    exp = dataclasses.replace(exp, log_dir=str(tmp_path / "results"),
+                              checkpoint_dir=str(tmp_path / "ckpts"))
+    Trainer(exp, verbose=False).train_seed(ds, 42)
+    ckpt = os.path.join(exp.checkpoint_dir,
+                        "Exp_resnet_no_down_W10_ae_teacher_seed_42_best.ckpt")
+    out = str(tmp_path / "serving.zip")
+    meta = export_serving_artifact(ckpt, out, data_dir=data_dir)
+    return {"zip": out, "meta": meta, "ckpt": ckpt, "data_dir": data_dir,
+            "tmp": tmp_path}
+
+
+def _direct_fns(info):
+    """Ground truth: the same closures the exporter froze, run live."""
+    from bridgerl_tpu.export.motion_export import load_model_from_checkpoint
+    from bridgerl_tpu.export.serialize import _load_stats_pair
+
+    model, variables, exp = load_model_from_checkpoint(info["ckpt"])
+    robot_stats = _load_stats_pair(info["data_dir"], "mean.npy", "std.npy",
+                                   exp.model.robot_input_dim)
+    human_stats = _load_stats_pair(info["data_dir"], "human_mean.npy",
+                                   "human_std.npy", exp.model.human_input_dim)
+    return make_serving_fns(model, variables, robot_stats, human_stats), exp
+
+
+def test_artifact_meta(tiny_artifact):
+    meta = tiny_artifact["meta"]
+    assert meta["format"] == FORMAT_TAG
+    assert set(meta["functions"]) == {"retarget", "robot_recon"}
+    assert meta["functions"]["retarget"]["input"] == ["b", 10, 126]
+    assert meta["functions"]["retarget"]["output"] == ["b", 10, 29]
+    assert meta["functions"]["robot_recon"]["input"] == ["b", 10, 29]
+    assert "cpu" in meta["platforms"] and "tpu" in meta["platforms"]
+    # config JSON embedded for provenance
+    cfg = json.loads(meta["config_json"])
+    assert cfg["model"]["arch"] == "resnet_no_down"
+
+
+def test_roundtrip_matches_direct_apply(tiny_artifact):
+    """Artifact outputs must equal the live model (weights + stats baked in)."""
+    mod = load_serving_artifact(tiny_artifact["zip"])
+    direct, exp = _direct_fns(tiny_artifact)
+    rng = np.random.default_rng(1)
+    xh = rng.normal(size=(3, 10, 126)).astype(np.float32)
+    xr = rng.normal(size=(3, 10, 29)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(mod.retarget(xh)),
+                               np.asarray(direct["retarget"](xh)),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(mod.robot_recon(xr)),
+                               np.asarray(direct["robot_recon"](xr)),
+                               rtol=2e-5, atol=2e-5)
+    assert mod.window_size == 10
+
+
+def test_batch_polymorphism(tiny_artifact):
+    """One artifact serves any batch size — the symbolic `b` dimension."""
+    mod = load_serving_artifact(tiny_artifact["zip"])
+    for b in (1, 4, 17):
+        out = mod.retarget(np.zeros((b, 10, 126), np.float32))
+        assert out.shape == (b, 10, 29)
+
+
+def test_self_contained(tiny_artifact):
+    """Loading must need only the zip: move it, delete nothing else matters."""
+    moved = str(tiny_artifact["tmp"] / "elsewhere" / "artifact.zip")
+    os.makedirs(os.path.dirname(moved), exist_ok=True)
+    with open(tiny_artifact["zip"], "rb") as f:
+        blob = f.read()
+    with open(moved, "wb") as f:
+        f.write(blob)
+    mod = load_serving_artifact(moved)
+    out = mod.robot_recon(np.zeros((2, 10, 29), np.float32))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unknown_format_rejected(tmp_path):
+    bad = str(tmp_path / "bad.zip")
+    with zipfile.ZipFile(bad, "w") as zf:
+        zf.writestr("meta.json", json.dumps({"format": "not-a-bridgerl-artifact"}))
+    with pytest.raises(ValueError, match="unknown artifact format"):
+        load_serving_artifact(bad)
+
+
+def test_stats_identity_fallback(tmp_path):
+    """Missing stats files fall back to identity, like the reference loader
+    (export_motion.py:16-23)."""
+    from bridgerl_tpu.export.serialize import _load_stats_pair
+    mean, std = _load_stats_pair(str(tmp_path), "mean.npy", "std.npy", 7)
+    np.testing.assert_array_equal(mean, np.zeros(7, np.float32))
+    np.testing.assert_array_equal(std, np.ones(7, np.float32))
+
+
+# ---------- HTTP serving host ----------
+
+@pytest.fixture(scope="module")
+def serving_http(tiny_artifact):
+    """ServingApp + live HTTP server on an ephemeral port."""
+    import threading
+    from bridgerl_tpu.export.server import make_server
+
+    srv = make_server(tiny_artifact["zip"], port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _post(srv, path, body, ctype):
+    import urllib.request
+    host, port = srv.server_address
+    req = urllib.request.Request(f"http://{host}:{port}{path}", data=body,
+                                 headers={"Content-Type": ctype}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read(), resp.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_http_npy_roundtrip(serving_http, tiny_artifact):
+    """octet-stream request: .npy in, .npy out, numerics == direct artifact."""
+    import io
+    mod_direct = load_serving_artifact(tiny_artifact["zip"])
+    x = np.random.default_rng(2).normal(size=(3, 10, 126)).astype(np.float32)
+    buf = io.BytesIO()
+    np.save(buf, x)
+    status, body, ctype = _post(serving_http, "/v1/retarget", buf.getvalue(),
+                                "application/octet-stream")
+    assert status == 200 and ctype == "application/octet-stream"
+    out = np.load(io.BytesIO(body), allow_pickle=False)
+    np.testing.assert_allclose(out, np.asarray(mod_direct.retarget(x)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_http_json_roundtrip(serving_http):
+    """JSON request gets a JSON response with the right shape."""
+    x = np.zeros((2, 10, 29), np.float32)
+    status, body, ctype = _post(serving_http, "/v1/robot_recon",
+                                json.dumps({"windows": x.tolist()}).encode(),
+                                "application/json")
+    assert status == 200 and ctype == "application/json"
+    out = np.asarray(json.loads(body)["windows"], np.float32)
+    assert out.shape == (2, 10, 29) and np.all(np.isfinite(out))
+
+
+def test_http_health_meta_and_errors(serving_http):
+    import urllib.request
+    host, port = serving_http.server_address
+    with urllib.request.urlopen(f"http://{host}:{port}/healthz", timeout=10) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["window"] == 10
+    with urllib.request.urlopen(f"http://{host}:{port}/meta", timeout=10) as r:
+        assert json.loads(r.read())["format"] == FORMAT_TAG
+    # wrong shape -> 400; unknown function -> 404
+    import io
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((2, 10, 5), np.float32))
+    status, body, _ = _post(serving_http, "/v1/retarget", buf.getvalue(),
+                            "application/octet-stream")
+    assert status == 400 and b"expects" in body
+    status, _, _ = _post(serving_http, "/v1/nope", b"{}", "application/json")
+    assert status == 404
+
+
+def test_batch_bucketing_pads_and_slices(tiny_artifact):
+    """Bucketed batches (3 -> pad 4) return exactly b rows, same numerics."""
+    from bridgerl_tpu.export.server import ServingApp, _bucket
+    assert [_bucket(b) for b in (1, 2, 3, 5, 8, 17)] == [1, 2, 4, 8, 8, 32]
+    mod = load_serving_artifact(tiny_artifact["zip"])
+    app = ServingApp(mod, bucket_batches=True)
+    x = np.random.default_rng(3).normal(size=(3, 10, 126)).astype(np.float32)
+    np.testing.assert_allclose(app.call("retarget", x),
+                               np.asarray(mod.retarget(x)), rtol=2e-5, atol=2e-5)
