@@ -110,11 +110,16 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
             if not self.path.startswith("/v1/"):
                 return self._error(404, f"no such path {self.path!r}")
             fn_name = self.path[len("/v1/"):]
+            if fn_name not in app.module.meta["functions"]:
+                return self._error(404, f"unknown function {fn_name!r}")
             try:
                 raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 ctype = (self.headers.get("Content-Type") or _OCTET).split(";")[0]
                 if ctype == _JSON:
-                    x = np.asarray(json.loads(raw)["windows"], np.float32)
+                    body = json.loads(raw)
+                    if "windows" not in body:
+                        raise ValueError('JSON body must carry a "windows" key')
+                    x = np.asarray(body["windows"], np.float32)
                 else:
                     x = np.load(io.BytesIO(raw), allow_pickle=False)
                 out = app.call(fn_name, x)

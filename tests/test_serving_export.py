@@ -202,6 +202,10 @@ def test_http_health_meta_and_errors(serving_http):
     assert status == 400 and b"expects" in body
     status, _, _ = _post(serving_http, "/v1/nope", b"{}", "application/json")
     assert status == 404
+    # JSON body without "windows" is a 400 (malformed request), not a 404
+    status, body, _ = _post(serving_http, "/v1/retarget", b"{}",
+                            "application/json")
+    assert status == 400 and b"windows" in body
 
 
 def test_batch_bucketing_pads_and_slices(tiny_artifact):
