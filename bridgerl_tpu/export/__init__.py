@@ -2,3 +2,4 @@ from .motion_export import export_motions, load_model_from_checkpoint, load_stat
 from .reconstruct import reconstruct_long_sequence, reconstruct_single_window, window_starts
 from .serialize import ServingModule, export_serving_artifact, load_serving_artifact, make_serving_fns
 from .server import ServingApp, make_server
+from .client import ServingClient, ServingError

@@ -16,12 +16,17 @@ Artifact layout (one .zip):
                      provenance (source checkpoint, jax version, platforms)
     <fn>.bin       — serialized ``jax.export.Exported`` per function
 
-Exported functions (all float32, channel-last, batch-polymorphic):
-    retarget    (b, W, 126) raw human 6D-rotation windows -> (b, W, 29) raw
-                robot joint positions (the product path: human encoder ->
-                shared quantizer -> robot decoder, models/dual_vqvae.py)
-    robot_recon (b, W, 29) raw robot windows -> (b, W, 29) reconstruction
-                (the export/replay path)
+Exported functions (all float32 in, channel-last, batch-polymorphic):
+    retarget     (b, W, 126) raw human 6D-rotation windows -> (b, W, 29) raw
+                 robot joint positions (the product path: human encoder ->
+                 shared quantizer -> robot decoder, models/dual_vqvae.py)
+    robot_recon  (b, W, 29) raw robot windows -> (b, W, 29) reconstruction
+                 (the export/replay path)
+    motion_codes (b, W, 126) raw human windows -> dict of int32 (b, T')
+                 discrete code streams (one per quantizer stage, e.g.
+                 "quantizer/fsq" + "quantizer/rvq/vq_0..3" for hybrid) — the
+                 VQ "motion tokens" downstream policy learning consumes;
+                 absent for method="ae" (no codes to emit)
 """
 
 from __future__ import annotations
@@ -68,7 +73,20 @@ def make_serving_fns(model, variables, robot_stats, human_stats) -> Dict[str, Ca
         out = model.apply(variables, x_robot=norm, train=False)
         return out["robot"]["recon"].astype(jnp.float32) * r_std + r_mean
 
-    return {"retarget": retarget, "robot_recon": robot_recon}
+    def motion_codes(x_human):
+        norm = (x_human - h_mean) / h_std
+        _, mods = model.apply(variables, x_human=norm, train=False,
+                              mutable=["intermediates"])
+        from flax import traverse_util
+        flat = traverse_util.flatten_dict(mods["intermediates"])
+        # sow stores a 1-tuple per call; name streams by their module path
+        return {"/".join(k[:-1]): v[0].astype(jnp.int32)
+                for k, v in sorted(flat.items()) if k[-1] == "codes"}
+
+    fns = {"retarget": retarget, "robot_recon": robot_recon}
+    if getattr(model.cfg, "method", None) != "ae":
+        fns["motion_codes"] = motion_codes
+    return fns
 
 
 def export_serving_artifact(
@@ -90,7 +108,7 @@ def export_serving_artifact(
     robot_stats = _load_stats_pair(data_dir, "mean.npy", "std.npy", r_dim)
     human_stats = _load_stats_pair(data_dir, "human_mean.npy", "human_std.npy", h_dim)
     fns = make_serving_fns(model, variables, robot_stats, human_stats)
-    in_dims = {"retarget": h_dim, "robot_recon": r_dim}
+    in_dims = {"retarget": h_dim, "robot_recon": r_dim, "motion_codes": h_dim}
 
     meta: Dict[str, Any] = {
         "format": FORMAT_TAG,
@@ -100,15 +118,21 @@ def export_serving_artifact(
         "source_checkpoint": os.path.abspath(ckpt_path),
         "functions": {},
     }
+    def _sig(aval) -> list:
+        return [d if isinstance(d, int) else str(d) for d in aval.shape]
+
     blobs: Dict[str, bytes] = {}
     for name, fn in fns.items():
         shape = jax.export.symbolic_shape(f"b, {W}, {in_dims[name]}")
         arg = jax.ShapeDtypeStruct(shape, jnp.float32)
         exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
         blobs[name] = exported.serialize()
+        out_aval = jax.eval_shape(fn, arg)
+        out_sig = ({k: _sig(v) for k, v in out_aval.items()}
+                   if isinstance(out_aval, dict) else _sig(out_aval))
         meta["functions"][name] = {
             "input": ["b", W, in_dims[name]],
-            "output": ["b", W, r_dim],
+            "output": out_sig,
             "dtype": "float32",
         }
 
@@ -141,6 +165,10 @@ class ServingModule:
 
     def robot_recon(self, x_robot) -> jax.Array:
         return self.fns["robot_recon"](jnp.asarray(x_robot, jnp.float32))
+
+    def motion_codes(self, x_human) -> Dict[str, jax.Array]:
+        """Discrete per-stage code streams (absent for method='ae')."""
+        return self.fns["motion_codes"](jnp.asarray(x_human, jnp.float32))
 
     @property
     def window_size(self) -> int:

@@ -52,7 +52,8 @@ class ServingApp:
         self.bucket_batches = bucket_batches
         self._lock = threading.Lock()  # serialize device work across client threads
 
-    def call(self, fn_name: str, x: np.ndarray) -> np.ndarray:
+    def call(self, fn_name: str, x: np.ndarray):
+        """Returns an (b, ...) array, or a dict of them for motion_codes."""
         sig = self.module.meta["functions"].get(fn_name)
         if sig is None:
             raise KeyError(fn_name)
@@ -66,8 +67,10 @@ class ServingApp:
             x = np.concatenate(
                 [x, np.zeros((_bucket(b) - b, *x.shape[1:]), np.float32)])
         with self._lock:
-            out = np.asarray(self.module.fns[fn_name](x))
-        return out[:b]
+            out = self.module.fns[fn_name](x)
+        if isinstance(out, dict):
+            return {k: np.asarray(v)[:b] for k, v in out.items()}
+        return np.asarray(out)[:b]
 
 
 def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
@@ -127,12 +130,18 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
                 return self._error(404, f"unknown function {fn_name!r}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._error(400, str(e))
-            if ctype == _JSON:
-                self._reply(200, json.dumps({"windows": out.tolist()}).encode(), _JSON)
+            buf = io.BytesIO()
+            if isinstance(out, dict):  # motion_codes: one stream per key
+                if ctype == _JSON:
+                    body = {"codes": {k: v.tolist() for k, v in out.items()}}
+                    return self._reply(200, json.dumps(body).encode(), _JSON)
+                np.savez(buf, **out)  # .npz response
+            elif ctype == _JSON:
+                return self._reply(
+                    200, json.dumps({"windows": out.tolist()}).encode(), _JSON)
             else:
-                buf = io.BytesIO()
-                np.save(buf, out)
-                self._reply(200, buf.getvalue(), _OCTET)
+                np.save(buf, out)  # .npy response
+            self._reply(200, buf.getvalue(), _OCTET)
 
     # HTTPServer already sets allow_reuse_address = 1 (class attribute)
     srv = ThreadingHTTPServer((host, port), Handler)

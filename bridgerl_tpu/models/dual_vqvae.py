@@ -157,4 +157,9 @@ def init_model(cfg: ModelConfig, rng: jax.Array, batch_size: int = 2):
     x_r = jnp.zeros((batch_size, cfg.window_size, cfg.robot_input_dim), jnp.float32)
     x_h = jnp.zeros((batch_size, cfg.window_size, cfg.human_input_dim), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, x_robot=x_r, x_human=x_h, train=False)
+    # The quantizers sow discrete code streams into "intermediates" (serving /
+    # analysis surface); init collects every collection, but codes are
+    # per-call outputs, not state — drop them so checkpoints stay pure state.
+    variables = dict(variables)
+    variables.pop("intermediates", None)
     return model, variables

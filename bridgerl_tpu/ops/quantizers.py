@@ -152,6 +152,10 @@ class VectorQuantizer(nn.Module):
             loss = q_latent + self.commitment_cost * e_latent
 
         out = ste(z, z_q).astype(in_dtype)
+        # Discrete code stream for consumers that want the tokens themselves
+        # (serving export, downstream policy learning). sow is a no-op unless
+        # the caller makes "intermediates" mutable — zero training cost.
+        self.sow("intermediates", "codes", indices.reshape(z.shape[:-1]))
         metrics = {
             "perplexity": perplexity_from_counts(counts),
             "dcr": dcr_from_counts(counts),
@@ -252,6 +256,7 @@ class FSQ(nn.Module):
             [math.prod(self.levels[:i]) for i in range(fsq_dim)], dtype=jnp.float32
         )  # [1, L0, L0*L1, ...] (vqvae.py:122)
         indices = jnp.sum(z_hard * basis, axis=-1).astype(jnp.int32)  # (B, T)
+        self.sow("intermediates", "codes", indices)
         uniq = unique_count(indices)
         codebook_size = float(math.prod(self.levels))
         metrics = {
@@ -303,6 +308,7 @@ class LFQ(nn.Module):
         bits = (z_q > 0).astype(jnp.int32)  # (B, T, C)
         basis = (2 ** jnp.arange(self.codebook_dim, dtype=jnp.int32))
         indices = jnp.sum(bits * basis, axis=-1)  # (B, T)
+        self.sow("intermediates", "codes", indices)
         uniq = unique_count(indices)
         codebook_size = float(2 ** self.codebook_dim)
         metrics = {"perplexity": uniq, "dcr": 1.0 - uniq / codebook_size}

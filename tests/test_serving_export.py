@@ -131,6 +131,67 @@ def test_stats_identity_fallback(tmp_path):
     np.testing.assert_array_equal(std, np.ones(7, np.float32))
 
 
+def test_ae_artifact_has_no_codes_fn(tiny_artifact):
+    """method='ae' has no discrete codes; the artifact must not export them."""
+    assert "motion_codes" not in tiny_artifact["meta"]["functions"]
+
+
+@pytest.fixture(scope="module")
+def hybrid_artifact(tmp_path_factory):
+    """Fresh-init hybrid artifact — the codes contract needs no training."""
+    import jax
+    from bridgerl_tpu.models import init_model
+    from bridgerl_tpu.train.checkpoint import save_checkpoint
+
+    tmp_path = tmp_path_factory.mktemp("serving_hybrid")
+    exp = make_experiment("resnet_no_down", "hybrid", window=10, hidden_dim=16)
+    model, variables = init_model(exp.model, jax.random.key(0))
+    ckpt = str(tmp_path / "hybrid_init.ckpt")
+    save_checkpoint(ckpt, epoch=0, variables=variables, config=exp)
+    out = str(tmp_path / "serving_hybrid.zip")
+    meta = export_serving_artifact(ckpt, out, data_dir=str(tmp_path / "nostats"))
+    return {"zip": out, "meta": meta, "model": model, "variables": variables}
+
+
+def test_motion_codes_streams(hybrid_artifact):
+    """Hybrid exports one int32 (b, T) stream per quantizer stage, and the
+    artifact's codes equal a direct mutable-apply extraction."""
+    import jax
+
+    sig = hybrid_artifact["meta"]["functions"]["motion_codes"]
+    assert isinstance(sig["output"], dict)
+    streams = set(sig["output"])
+    assert any("fsq" in s for s in streams)
+    assert sum("vq_" in s for s in streams) == 4  # hybrid's 4 RVQ layers
+
+    mod = load_serving_artifact(hybrid_artifact["zip"])
+    x = np.random.default_rng(4).normal(size=(3, 10, 126)).astype(np.float32)
+    codes = mod.motion_codes(x)
+    assert set(codes) == streams
+    for v in codes.values():
+        assert v.shape == (3, 10) and v.dtype == np.int32
+
+    # ground truth: run the live model with intermediates mutable
+    model, variables = hybrid_artifact["model"], hybrid_artifact["variables"]
+    _, mods = model.apply(variables, x_human=jax.numpy.asarray(x), train=False,
+                          mutable=["intermediates"])
+    from flax import traverse_util
+    flat = traverse_util.flatten_dict(mods["intermediates"])
+    direct = {"/".join(k[:-1]): np.asarray(v[0], np.int32)
+              for k, v in flat.items() if k[-1] == "codes"}
+    for name in streams:
+        np.testing.assert_array_equal(np.asarray(codes[name]), direct[name])
+
+
+def test_intermediates_never_in_checkpoint_state():
+    """init_model must strip the sown codes: they are outputs, not state."""
+    import jax
+    from bridgerl_tpu.models import init_model
+    exp = make_experiment("resnet_no_down", "hybrid", window=10, hidden_dim=16)
+    _, variables = init_model(exp.model, jax.random.key(0))
+    assert "intermediates" not in variables
+
+
 # ---------- HTTP serving host ----------
 
 @pytest.fixture(scope="module")
@@ -206,6 +267,67 @@ def test_http_health_meta_and_errors(serving_http):
     status, body, _ = _post(serving_http, "/v1/retarget", b"{}",
                             "application/json")
     assert status == 400 and b"windows" in body
+
+
+def test_http_motion_codes_npz(hybrid_artifact):
+    """POST human windows, get one npz member per code stream back."""
+    import io
+    import threading
+    from bridgerl_tpu.export.server import make_server
+
+    srv = make_server(hybrid_artifact["zip"], port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        x = np.zeros((2, 10, 126), np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        status, body, _ = _post(srv, "/v1/motion_codes", buf.getvalue(),
+                                "application/octet-stream")
+        assert status == 200
+        npz = np.load(io.BytesIO(body), allow_pickle=False)
+        assert set(npz.files) == set(
+            hybrid_artifact["meta"]["functions"]["motion_codes"]["output"])
+        for k in npz.files:
+            assert npz[k].shape == (2, 10) and npz[k].dtype == np.int32
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_client_roundtrip(serving_http, tiny_artifact):
+    """ServingClient speaks the wire protocol end-to-end."""
+    from bridgerl_tpu.export.client import ServingClient, ServingError
+
+    host, port = serving_http.server_address
+    c = ServingClient(f"http://{host}:{port}")
+    assert c.health()["ok"] and c.meta()["format"] == FORMAT_TAG
+    mod_direct = load_serving_artifact(tiny_artifact["zip"])
+    x = np.random.default_rng(5).normal(size=(2, 10, 126)).astype(np.float32)
+    np.testing.assert_allclose(c.retarget(x), np.asarray(mod_direct.retarget(x)),
+                               rtol=2e-5, atol=2e-5)
+    with pytest.raises(ServingError) as ei:
+        c.retarget(np.zeros((2, 10, 5), np.float32))
+    assert ei.value.status == 400 and "expects" in str(ei.value)
+
+
+def test_client_motion_codes(hybrid_artifact):
+    import threading
+    from bridgerl_tpu.export.client import ServingClient
+    from bridgerl_tpu.export.server import make_server
+
+    srv = make_server(hybrid_artifact["zip"], port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        codes = ServingClient(f"http://{host}:{port}").motion_codes(
+            np.zeros((2, 10, 126), np.float32))
+        assert set(codes) == set(
+            hybrid_artifact["meta"]["functions"]["motion_codes"]["output"])
+        assert all(v.shape == (2, 10) for v in codes.values())
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_batch_bucketing_pads_and_slices(tiny_artifact):

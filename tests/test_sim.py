@@ -247,8 +247,21 @@ def test_live_viewer_page_and_server(g1, rng):
     assert str(g1.parent_index.tolist()) in js.replace(" ", "") or \
         str(g1.parent_index.tolist()).replace(" ", "") in js.replace(" ", "")
 
-    t = threading.Thread(target=serve_viewer, args=(html, 8739, 1))
+    # the server binds inside the thread, so early connects can be refused or
+    # half-served on the loaded 1-core host (observed flake). Budget several
+    # requests, daemonize, and retry the GET until a full body arrives.
+    import time
+    t = threading.Thread(target=serve_viewer, args=(html, 8739, 8), daemon=True)
     t.start()
-    body = urllib.request.urlopen("http://127.0.0.1:8739/", timeout=10).read()
-    t.join(5)
+    deadline = time.time() + 20
+    body = b""
+    while body != html.encode():
+        try:
+            body = urllib.request.urlopen("http://127.0.0.1:8739/", timeout=10).read()
+        except (urllib.error.URLError, ConnectionError, TimeoutError):
+            pass
+        if body != html.encode() and time.time() > deadline:
+            raise AssertionError(f"viewer never served the page "
+                                 f"(last body: {len(body)} bytes)")
+        time.sleep(0.05)
     assert body.decode() == html
