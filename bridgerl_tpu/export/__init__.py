@@ -3,3 +3,4 @@ from .reconstruct import reconstruct_long_sequence, reconstruct_single_window, w
 from .serialize import ServingModule, export_serving_artifact, load_serving_artifact, make_serving_fns
 from .server import ServingApp, make_server
 from .client import ServingClient, ServingError
+from .streaming import StreamingRetargeter
