@@ -102,6 +102,19 @@ def export_serving_artifact(
     from .motion_export import load_model_from_checkpoint
 
     model, variables, exp = load_model_from_checkpoint(ckpt_path)
+    return build_serving_artifact(model, variables, exp, out_path,
+                                  data_dir=data_dir, platforms=platforms,
+                                  source=os.path.abspath(ckpt_path))
+
+
+def build_serving_artifact(
+    model, variables, exp, out_path: str,
+    data_dir: str = "data/processed",
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    source: str = "<in-memory>",
+) -> Dict[str, Any]:
+    """Freeze an in-memory (model, variables, config) triple — the shared
+    engine behind export_serving_artifact and fresh-init benchmarks."""
     W = exp.model.window_size
     r_dim = exp.model.robot_input_dim
     h_dim = exp.model.human_input_dim
@@ -115,7 +128,7 @@ def export_serving_artifact(
         "config_json": exp.to_json(),
         "platforms": list(platforms),
         "jax_version": jax.__version__,
-        "source_checkpoint": os.path.abspath(ckpt_path),
+        "source_checkpoint": source,
         "functions": {},
     }
     def _sig(aval) -> list:

@@ -28,36 +28,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def _fresh_artifact(arch: str, method: str, window: int, out: str) -> None:
-    """Export a fresh-init model of the flagship config shape."""
+    """Export a fresh-init model of the flagship config shape (identity
+    stats via the missing-stats fallback)."""
     import jax
     from bridgerl_tpu.config import make_experiment
-    from bridgerl_tpu.export.serialize import make_serving_fns
-    from bridgerl_tpu.export import serialize as ser
+    from bridgerl_tpu.export.serialize import build_serving_artifact
     from bridgerl_tpu.models import init_model
-    import jax.numpy as jnp
-    import numpy as np
-    import zipfile
 
     exp = make_experiment(arch, method, window=window)
     model, variables = init_model(exp.model, jax.random.key(0))
-    r_dim, h_dim = exp.model.robot_input_dim, exp.model.human_input_dim
-    ident = lambda d: (np.zeros(d, np.float32), np.ones(d, np.float32))
-    fns = make_serving_fns(model, variables, ident(r_dim), ident(h_dim))
-    in_dims = {"retarget": h_dim, "robot_recon": r_dim}
-    meta = {"format": ser.FORMAT_TAG, "config_json": exp.to_json(),
-            "platforms": ["cpu", "tpu"], "jax_version": jax.__version__,
-            "source_checkpoint": "<fresh-init>", "functions": {}}
-    blobs = {}
-    for name, fn in fns.items():
-        shape = jax.export.symbolic_shape(f"b, {window}, {in_dims[name]}")
-        arg = jax.ShapeDtypeStruct(shape, jnp.float32)
-        blobs[name] = jax.export.export(jax.jit(fn), platforms=("cpu", "tpu"))(arg).serialize()
-        meta["functions"][name] = {"input": ["b", window, in_dims[name]],
-                                   "output": ["b", window, r_dim], "dtype": "float32"}
-    with zipfile.ZipFile(out, "w") as zf:
-        zf.writestr("meta.json", json.dumps(meta))
-        for name, blob in blobs.items():
-            zf.writestr(f"{name}.bin", blob)
+    build_serving_artifact(model, variables, exp, out,
+                           data_dir=os.path.join(tempfile.gettempdir(), "nostats"),
+                           source="<fresh-init>")
 
 
 def main():
@@ -73,6 +55,10 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[1, 64, 512, 4096])
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--stream", action="store_true",
+                   help="also bench StreamingRetargeter per-frame push latency")
+    p.add_argument("--stream_step", type=int, default=None,
+                   help="streaming stride (default window // 2)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -118,6 +104,31 @@ def main():
     best = max(rows, key=lambda r: r["windows_per_s"])
     print(json.dumps({"bench": "serving_retarget_best", "platform": platform,
                       **best}))
+
+    if args.stream:
+        from bridgerl_tpu.export.streaming import StreamingRetargeter
+        S = args.stream_step or max(W // 2, 1)
+        n_frames = args.warmup * S + W + args.iters * S  # iters*S timed pushes
+        feed = np.random.default_rng(1).normal(
+            size=(n_frames, h_dim)).astype(np.float32)
+        sr = StreamingRetargeter(lambda x: np.asarray(mod.retarget(x)),
+                                 window=W, step=S, in_dim=h_dim)
+        push_times = []
+        for i, frame in enumerate(feed):
+            t0 = time.perf_counter()
+            sr.push(frame)
+            push_times.append(time.perf_counter() - t0)
+        sr.flush()
+        # skip warmup region (first windows compile/claim the device)
+        times = np.asarray(push_times[args.warmup * S + W:])
+        print(json.dumps({
+            "bench": "serving_stream_push", "platform": platform,
+            "window": W, "step": S,
+            "median_push_ms": round(1e3 * float(np.median(times)), 3),
+            "p99_push_ms": round(1e3 * float(np.percentile(times, 99)), 3),
+            "amortized_frame_ms": round(1e3 * float(np.mean(times)), 3),
+            "latency_frames": sr.latency_frames,
+        }))
 
 
 if __name__ == "__main__":
