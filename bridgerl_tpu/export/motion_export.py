@@ -101,10 +101,11 @@ def export_motions(
             recon = reconstruct_long_sequence(apply_fn, full, window, step_size, mean, std)
             if recon is not None:
                 suffix = f"{arch}_FullSeq_W{window}_idx{i}"
-                np.save(os.path.join(output_dir, gt_name), full)
+                gt_p = os.path.join(output_dir, gt_name)
+                np.save(gt_p, full)
                 p = os.path.join(output_dir, f"recon_{suffix}.npy")
                 np.save(p, recon)
-                written.extend([gt_name, p])
+                written.extend([gt_p, p])
                 continue
 
         if seq_len < window:
@@ -114,10 +115,11 @@ def export_motions(
         sample = full[:window]
         recon = reconstruct_single_window(apply_fn, sample, window, mean, std)
         suffix = f"{arch}_W{window}_{method}_idx{i}"
-        np.save(os.path.join(output_dir, gt_name), sample)
+        gt_p = os.path.join(output_dir, gt_name)
+        np.save(gt_p, sample)
         p = os.path.join(output_dir, f"recon_{suffix}.npy")
         np.save(p, recon)
-        written.extend([gt_name, p])
+        written.extend([gt_p, p])
 
     if verbose:
         print(f"[SUCCESS] Saved {len(written)} files to {output_dir}")

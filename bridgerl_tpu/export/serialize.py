@@ -44,12 +44,14 @@ import numpy as np
 FORMAT_TAG = "bridgerl-serving-v1"
 
 
-def _load_stats_pair(data_dir: str, mean_name: str, std_name: str,
+def _load_stats_pair(data_dir: Optional[str], mean_name: str, std_name: str,
                      dim: int) -> Tuple[np.ndarray, np.ndarray]:
     """Saved per-dim stats with the reference's identity fallback
     (export_motion.py:16-23), broadcast to full width so they bake into the
-    graph at a fixed shape."""
+    graph at a fixed shape. ``data_dir=None`` requests identity stats."""
     try:
+        if data_dir is None:
+            raise FileNotFoundError
         mean = np.load(os.path.join(data_dir, mean_name)).astype(np.float32)
         std = np.load(os.path.join(data_dir, std_name)).astype(np.float32)
     except FileNotFoundError:
@@ -107,9 +109,32 @@ def export_serving_artifact(
                                   source=os.path.abspath(ckpt_path))
 
 
+def export_fresh_artifact(
+    out_path: str,
+    arch: str = "transformer",
+    method: str = "hybrid",
+    window: int = 10,
+    data_dir: Optional[str] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> Dict[str, Any]:
+    """Freeze a fresh-init model of the given config — the shared builder
+    behind bench_serving.py and demo_stream_retarget.py's no-checkpoint
+    paths. ``data_dir=None`` bakes identity normalization stats; weight
+    values don't change the compiled program, so the artifact is
+    shape/speed-identical to a trained one."""
+    from ..config import make_experiment
+    from ..models import init_model
+
+    exp = make_experiment(arch, method, window=window)
+    model, variables = init_model(exp.model, jax.random.key(0))
+    return build_serving_artifact(model, variables, exp, out_path,
+                                  data_dir=data_dir, platforms=platforms,
+                                  source="<fresh-init>")
+
+
 def build_serving_artifact(
     model, variables, exp, out_path: str,
-    data_dir: str = "data/processed",
+    data_dir: Optional[str] = "data/processed",
     platforms: Sequence[str] = ("cpu", "tpu"),
     source: str = "<in-memory>",
 ) -> Dict[str, Any]:
@@ -140,7 +165,9 @@ def build_serving_artifact(
         arg = jax.ShapeDtypeStruct(shape, jnp.float32)
         exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
         blobs[name] = exported.serialize()
-        out_aval = jax.eval_shape(fn, arg)
+        # the Exported already carries the output avals — no second trace
+        out_aval = jax.tree_util.tree_unflatten(
+            exported.out_tree, list(exported.out_avals))
         out_sig = ({k: _sig(v) for k, v in out_aval.items()}
                    if isinstance(out_aval, dict) else _sig(out_aval))
         meta["functions"][name] = {

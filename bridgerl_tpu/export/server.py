@@ -120,16 +120,24 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
                 ctype = (self.headers.get("Content-Type") or _OCTET).split(";")[0]
                 if ctype == _JSON:
                     body = json.loads(raw)
-                    if "windows" not in body:
-                        raise ValueError('JSON body must carry a "windows" key')
+                    if not isinstance(body, dict) or "windows" not in body:
+                        raise ValueError('JSON body must be {"windows": [[[...]]]}')
                     x = np.asarray(body["windows"], np.float32)
                 else:
                     x = np.load(io.BytesIO(raw), allow_pickle=False)
+                    if not isinstance(x, np.ndarray):
+                        raise ValueError(
+                            "octet body must be a single .npy array (got .npz?)")
                 out = app.call(fn_name, x)
             except KeyError:
                 return self._error(404, f"unknown function {fn_name!r}")
-            except (ValueError, json.JSONDecodeError) as e:
-                return self._error(400, str(e))
+            # A malformed body can surface as any of these (empty body ->
+            # EOFError, truncated .npy -> OSError, scalar JSON -> TypeError,
+            # ragged lists -> ValueError): all are client errors, and a
+            # serving daemon must answer 400, never drop the socket.
+            except (ValueError, TypeError, EOFError, OSError,
+                    json.JSONDecodeError) as e:
+                return self._error(400, str(e) or type(e).__name__)
             buf = io.BytesIO()
             if isinstance(out, dict):  # motion_codes: one stream per key
                 if ctype == _JSON:

@@ -59,9 +59,11 @@ class StreamingRetargeter:
         self._emit_next = 0        # first not-yet-emitted frame index
         self._ring = np.zeros((self.W, self.in_dim), np.float32)  # last W frames
         self._next_start = 0       # next grid window start to process
-        # output accumulators for frames [_base, n): small — O(W + S) rows
+        # output accumulators for frames [_base, n): small — O(W + S) rows.
+        # Column count is out_dim when known up front, else a 1-column
+        # placeholder re-shaped on the first window's output (_run_window).
         self._base = 0
-        self._sum = np.zeros((0, 1), np.float32)
+        self._sum = np.zeros((0, self.out_dim or 1), np.float32)
         self._cnt = np.zeros((0, 1), np.float32)
 
     # ---- internals ----
@@ -79,6 +81,9 @@ class StreamingRetargeter:
         if self.out_dim is None:
             self.out_dim = out.shape[-1]
             self._sum = np.zeros((self._sum.shape[0], self.out_dim), np.float32)
+        elif out.shape[-1] != self.out_dim:
+            raise ValueError(
+                f"window_fn returned out_dim={out.shape[-1]}, expected {self.out_dim}")
         self._ensure_out(start + self.W)
         lo = start - self._base
         self._sum[lo:lo + self.W] += out.astype(np.float32)

@@ -27,21 +27,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _fresh_artifact(arch: str, method: str, window: int, out: str) -> None:
-    """Export a fresh-init model of the flagship config shape (identity
-    stats via the missing-stats fallback)."""
-    import jax
-    from bridgerl_tpu.config import make_experiment
-    from bridgerl_tpu.export.serialize import build_serving_artifact
-    from bridgerl_tpu.models import init_model
-
-    exp = make_experiment(arch, method, window=window)
-    model, variables = init_model(exp.model, jax.random.key(0))
-    build_serving_artifact(model, variables, exp, out,
-                           data_dir=os.path.join(tempfile.gettempdir(), "nostats"),
-                           source="<fresh-init>")
-
-
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt", type=str, default=None,
@@ -76,7 +61,11 @@ def main():
             from bridgerl_tpu.export import export_serving_artifact
             export_serving_artifact(args.ckpt, art, data_dir=args.data_dir)
         else:
-            _fresh_artifact(args.arch, args.method, args.window, art)
+            # identity stats (data_dir=None): weight/stat values don't
+            # change the compiled program, only its constants
+            from bridgerl_tpu.export.serialize import export_fresh_artifact
+            export_fresh_artifact(art, arch=args.arch, method=args.method,
+                                  window=args.window)
     mod = load_serving_artifact(art)
     W = mod.window_size
     h_dim = mod.meta["functions"]["retarget"]["input"][2]

@@ -54,19 +54,13 @@ def main():
     if args.artifact:
         art = args.artifact
     else:
-        art = tempfile.mktemp(suffix=".zip", prefix="demo_serving_")
+        art = str(Path(tempfile.mkdtemp(prefix="demo_serving_")) / "model.zip")
         if args.ckpt:
             from bridgerl_tpu.export import export_serving_artifact
             export_serving_artifact(args.ckpt, art, data_dir=args.data_dir)
         else:
-            from bridgerl_tpu.config import make_experiment
-            from bridgerl_tpu.export.serialize import build_serving_artifact
-            from bridgerl_tpu.models import init_model
-            import jax
-            exp = make_experiment("transformer", "hybrid", window=10)
-            model, variables = init_model(exp.model, jax.random.key(0))
-            build_serving_artifact(model, variables, exp, art,
-                                   data_dir=args.data_dir, source="<fresh-init>")
+            from bridgerl_tpu.export.serialize import export_fresh_artifact
+            export_fresh_artifact(art, window=10, data_dir=args.data_dir)
             print("[WARN] no --ckpt: fresh-init weights (motion flows, "
                   "retargeting is untrained)")
     mod = load_serving_artifact(art)
@@ -98,6 +92,9 @@ def main():
     tail = sr.flush()
     if tail.size:
         out_frames.append(tail)
+    if not out_frames:
+        sys.exit(f"feed too short: {feed.shape[0]} frames <= window {W} "
+                 f"produce no output (need at least window+1 frames)")
     robot = np.concatenate(out_frames, axis=0)
     wall = time.perf_counter() - t_start
     print(f"streamed {feed.shape[0]} human frames -> {robot.shape[0]} robot "

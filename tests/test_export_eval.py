@@ -90,6 +90,8 @@ def test_export_motions_from_checkpoint(tmp_path):
     written = export_motions(ckpt, data_dir=data_dir, output_dir=out_dir,
                              num_samples=2, verbose=False)
     assert len(written) == 4
+    # returned entries are openable paths (not bare names; CWD-independent)
+    assert all(os.path.exists(p) for p in written)
     recon_files = [f for f in os.listdir(out_dir) if f.startswith("recon_")]
     assert any("FullSeq_W10" in f for f in recon_files)
     gt = np.load(os.path.join(out_dir, "idx0_gt.npy"))

@@ -14,6 +14,7 @@ import dataclasses
 import json
 import os
 import zipfile
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -267,6 +268,62 @@ def test_http_health_meta_and_errors(serving_http):
     status, body, _ = _post(serving_http, "/v1/retarget", b"{}",
                             "application/json")
     assert status == 400 and b"windows" in body
+
+
+def test_http_malformed_bodies_get_400(serving_http):
+    """Every easy-to-produce malformed body must yield an HTTP 400, never a
+    dropped socket (regression: empty body -> EOFError, .npz body ->
+    AttributeError, scalar JSON -> TypeError all used to escape the
+    handler)."""
+    import io
+    # empty octet body
+    status, _, _ = _post(serving_http, "/v1/retarget", b"",
+                         "application/octet-stream")
+    assert status == 400
+    # .npz where a single .npy array is expected
+    buf = io.BytesIO()
+    np.savez(buf, windows=np.zeros((1, 10, 126), np.float32))
+    status, body, _ = _post(serving_http, "/v1/retarget", buf.getvalue(),
+                            "application/octet-stream")
+    assert status == 400 and b".npy" in body
+    # random bytes
+    status, _, _ = _post(serving_http, "/v1/retarget", b"\x00\x01garbage",
+                         "application/octet-stream")
+    assert status == 400
+    # scalar / non-object JSON
+    for payload in (b"5", b"[1,2]", b"null"):
+        status, _, _ = _post(serving_http, "/v1/retarget", payload,
+                             "application/json")
+        assert status == 400, payload
+    # ragged "windows" nested lists
+    status, _, _ = _post(serving_http, "/v1/retarget",
+                         json.dumps({"windows": [[1, 2], [3]]}).encode(),
+                         "application/json")
+    assert status == 400
+
+
+def test_client_and_streaming_import_dependency_light():
+    """The deployment-host contract: `export.client` (urllib + numpy) and
+    `export.streaming` (numpy) import WITHOUT pulling jax/flax or the model
+    stack (regression: the package __init__ used to eagerly import
+    motion_export -> flax)."""
+    import subprocess
+    import sys
+    code = (
+        "import sys\n"
+        # the axon host hook preloads jax via sitecustomize; measure what OUR
+        # imports ADD, which is what a vanilla deployment host would see
+        "pre = {m for m in ('jax', 'flax', 'torch') if m in sys.modules}\n"
+        "from bridgerl_tpu.export.client import ServingClient\n"
+        "from bridgerl_tpu.export.streaming import StreamingRetargeter\n"
+        "from bridgerl_tpu.export import ServingClient as SC2\n"
+        "heavy = [m for m in ('jax', 'flax', 'torch')\n"
+        "         if m in sys.modules and m not in pre]\n"
+        "assert not heavy, f'heavy imports leaked: {heavy}'\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd=str(Path(__file__).resolve().parents[1]))
+    assert r.returncode == 0, r.stderr
 
 
 def test_http_motion_codes_npz(hybrid_artifact):

@@ -89,6 +89,31 @@ def test_cross_dim_retargeting_stream():
     np.testing.assert_allclose(streamed, expected, rtol=1e-5, atol=1e-5)
 
 
+def test_explicit_out_dim_matches_inferred():
+    """The documented out_dim ctor parameter pre-sizes the accumulators;
+    values must equal the inferred-out_dim path (regression: passing out_dim
+    used to crash on the first completed window — (W,1) accumulator vs
+    (W,out_dim) output)."""
+    T, W, S, DI, DO = 31, 8, 4, 6, 3
+    rng = np.random.default_rng(3)
+    seq = rng.normal(size=(T, DI)).astype(np.float32)
+    M = rng.normal(size=(DI, DO)).astype(np.float32)
+    fn = lambda x: np.tanh(x @ M)  # noqa: E731
+
+    def run(**kw):
+        sr = StreamingRetargeter(fn, window=W, step=S, in_dim=DI, **kw)
+        parts = [sr.push(f) for f in seq] + [sr.flush()]
+        return np.concatenate([p for p in parts if p.size], axis=0)
+
+    np.testing.assert_array_equal(run(out_dim=DO), run())
+    # an out_dim that contradicts the window function is an error, not
+    # silent corruption
+    sr = StreamingRetargeter(fn, window=W, step=S, in_dim=DI, out_dim=DO + 1)
+    with pytest.raises(ValueError, match="out_dim"):
+        for f in seq[:W]:
+            sr.push(f)
+
+
 def test_bad_inputs():
     sr = StreamingRetargeter(lambda x: x, window=10, step=5, in_dim=4)
     with pytest.raises(ValueError, match="expected frame shape"):
