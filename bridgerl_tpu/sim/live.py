@@ -144,7 +144,14 @@ def motion_to_frames(chain: KinematicChain, q_frames: np.ndarray) -> np.ndarray:
 def build_viewer_html(chain: KinematicChain, positions: np.ndarray,
                       fps: float = 50.0, title: str = "bridgerl replay") -> str:
     """Self-contained live-viewport page for (T, L, 3) link positions."""
-    frames = np.round(np.asarray(positions, np.float64), 4).tolist()
+    positions = np.asarray(positions, np.float64)
+    if positions.ndim != 3 or positions.shape[0] == 0:
+        # a (1,) trajectory resamples to 0 frames — fail with a diagnosis
+        # instead of emitting a page whose JS dies on FRAMES[0]
+        raise ValueError(
+            f"need (T>=1, L, 3) link positions, got {positions.shape} "
+            f"(single-frame inputs resample to zero frames)")
+    frames = np.round(positions, 4).tolist()
     return _PAGE.format(
         title=title, frames=json.dumps(frames),
         parent=json.dumps(chain.parent_index.tolist()),

@@ -41,12 +41,16 @@ def save_checkpoint(
     opt_state: Any = None,
     best_loss: float = float("inf"),
     config: Optional[ExperimentConfig] = None,
+    patience_counter: int = 0,
 ) -> None:
     payload = {
         "epoch": np.int64(epoch),
         "variables": flax.serialization.to_state_dict(_to_host(variables)),
         "opt_state": flax.serialization.to_state_dict(_to_host(opt_state)) if opt_state is not None else {},
         "best_loss": np.float64(best_loss),
+        # persisted so a kill/resume cycle early-stops at the same epoch an
+        # uninterrupted run would (the counter used to reset to 0 on resume)
+        "patience_counter": np.int64(patience_counter),
         "config_json": config.to_json() if config is not None else "",
     }
     data = flax.serialization.msgpack_serialize(payload)
@@ -65,6 +69,8 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         "variables": payload["variables"],
         "opt_state": payload["opt_state"],
         "best_loss": float(payload["best_loss"]),
+        # absent in pre-round-3 checkpoints: default 0 (the old behavior)
+        "patience_counter": int(payload.get("patience_counter", 0)),
         "config": None,
     }
     if payload.get("config_json"):

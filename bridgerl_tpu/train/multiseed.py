@@ -72,7 +72,12 @@ def init_states_vmapped(exp: ExperimentConfig, seeds,
 
     per_seed = []
     for i, s in enumerate(seeds):
-        _, variables = init_model(exp.model, jax.random.key(np.uint32(s)))
+        # same init-key derivation as the sequential Trainer (trainer.py:
+        # init_key, _ = split(root_key)) so a seed trained on either path
+        # starts from the IDENTICAL model — the partial-resume error message
+        # promises the sequential Trainer as a drop-in equivalent
+        init_key, _ = jax.random.split(jax.random.key(np.uint32(s)))
+        _, variables = init_model(exp.model, init_key)
         if teachers is not None:
             from .checkpoint import merge_teacher_into_student
             variables = merge_teacher_into_student(variables, teachers[i])
@@ -166,6 +171,19 @@ class MultiSeedTrainer:
         states = init_states_vmapped(exp, seeds, load_teacher=resume_cks is None)
         tx = make_optimizer(exp, jax.tree_util.tree_map(lambda x: x[0], states.params))
 
+        # per-seed deterministic splits (independent, like per-process set_seed);
+        # computed before codebook seeding so the seeding draws train-only windows
+        n = len(ds)
+        splits = [split_indices(n, tcfg.val_fraction, s) for s in seeds]
+        n_train = min(len(tr) for tr, _ in splits)
+        n_val = min(len(va) for _, va in splits)
+        if n_train == 0 or n_val == 0:
+            raise ValueError(
+                f"val_fraction={tcfg.val_fraction} splits {n} windows into "
+                f"train={n_train}/val={n_val}; both must be non-empty")
+        train_idx = jnp.asarray(np.stack([tr[:n_train] for tr, _ in splits]))  # (S, n_train)
+        val_idx = jnp.asarray(np.stack([va[:n_val] for _, va in splits]))      # (S, n_val)
+
         if tcfg.init_from and mode == "teacher" and resume_cks is None:
             from .checkpoint import (load_checkpoint, merge_matching_variables,
                                      resolve_teacher_ckpt)
@@ -186,18 +204,21 @@ class MultiSeedTrainer:
 
         if tcfg.codebook_data_init and mode == "teacher" and resume_cks is None:
             from .codebook_seed import seed_codebook_variables
-            xb = ds.robot[: tcfg.batch_size]
+            # per-seed TRAIN-split windows (the raw prefix would leak each
+            # seed's val windows into its codebook; train_idx rows are random
+            # permutation subsets, so the prefix is a random sample)
+            nb_seed = min(n_train, tcfg.batch_size)
+            xb = ds.robot[train_idx[:, :nb_seed]]  # (S, nb_seed, W, C)
 
-            def _seed_one(params, rest):
-                v = seed_codebook_variables(model, {"params": params, **rest}, xb)
+            def _seed_one(params, rest, x):
+                v = seed_codebook_variables(model, {"params": params, **rest}, x)
                 return split_variables(v)
 
-            new_p, new_r = jax.vmap(_seed_one)(states.params, states.rest)
+            new_p, new_r = jax.vmap(_seed_one)(states.params, states.rest, xb)
             states = TrainState(new_p, new_r, states.opt_state)
             if self.verbose:
                 print(f"{TermColor.CYAN}    [Seed] codebook data init x {S} "
-                      f"seeds ({min(len(ds), tcfg.batch_size)} windows)"
-                      f"{TermColor.ENDC}")
+                      f"seeds ({nb_seed} windows){TermColor.ENDC}")
 
         start_epoch = 0
         if resume_cks is not None:
@@ -207,14 +228,6 @@ class MultiSeedTrainer:
             if self.verbose:
                 print(f"{TermColor.CYAN}    [Resume] {S} per-seed `_last` "
                       f"checkpoints @ epoch {start_epoch}{TermColor.ENDC}")
-
-        # per-seed deterministic splits (independent, like per-process set_seed)
-        n = len(ds)
-        splits = [split_indices(n, tcfg.val_fraction, s) for s in seeds]
-        n_train = min(len(tr) for tr, _ in splits)
-        n_val = min(len(va) for _, va in splits)
-        train_idx = jnp.asarray(np.stack([tr[:n_train] for tr, _ in splits]))  # (S, n_train)
-        val_idx = jnp.asarray(np.stack([va[:n_val] for _, va in splits]))      # (S, n_val)
 
         batch = min(tcfg.batch_size, n_train)
         vmat = val_index_matrix(n_val, tcfg.batch_size)  # indices into the val subset
@@ -248,6 +261,7 @@ class MultiSeedTrainer:
         if resume_cks is not None:
             for s, ck in zip(seeds, resume_cks):
                 best[s] = ck["best_loss"]
+                patience_counters[s] = ck["patience_counter"]
                 log_path = os.path.join(exp.log_dir, exp.log_name(s))
                 if os.path.exists(log_path):
                     try:
@@ -261,6 +275,9 @@ class MultiSeedTrainer:
         t0 = time.time()
         nb = n_train // batch
         last_epoch = max(start_epoch - 1, 0)
+        # loop-invariant: val-chunk indices mapped into each seed's global val
+        # ids once, not per epoch
+        vidx_stack = jnp.take(val_idx, jnp.asarray(vmat), axis=1)  # (S, nbv, vb)
 
         # Best-state tracking stays ON DEVICE: a per-improvement device_get of
         # a full seed state costs seconds over a tunneled TPU and fires nearly
@@ -303,9 +320,9 @@ class MultiSeedTrainer:
             key_stack = jnp.stack(key_mats)   # (S, nb)
 
             states, logs = vm_epoch(states, ds.robot, ds.human, idx_stack, key_stack)
-            # validation: map val-chunk indices into each seed's global val ids
-            vidx_stack = jnp.take(val_idx, jnp.asarray(vmat), axis=1)  # (S, nbv, vb)
-            vals = vm_eval(jax.vmap(lambda s: s.variables())(states),
+            # the stacked variables dict IS the vmapped variables() result —
+            # no per-epoch vmap of a pure restructure needed
+            vals = vm_eval({"params": states.params, **states.rest},
                            ds.robot, ds.human, vidx_stack)
 
             logs_h = {k: np.asarray(v) for k, v in logs.items()}
@@ -352,7 +369,8 @@ class MultiSeedTrainer:
                     save_checkpoint(self._ckpt_path(s, "last"), epoch=epoch,
                                     variables={"params": one.params, **one.rest},
                                     opt_state=one.opt_state, best_loss=best[s],
-                                    config=exp)
+                                    config=exp,
+                                    patience_counter=patience_counters[s])
 
             if self.verbose and (epoch % 5 == 0 or epoch == tcfg.epochs - 1):
                 tl = float(np.mean(logs_h["train_loss"]))
@@ -368,19 +386,27 @@ class MultiSeedTrainer:
                     print(f"{TermColor.RED}!!! All seeds early-stopped at epoch {epoch} !!!{TermColor.ENDC}")
                 break
 
+        # two batched device->host fetches for ALL final artifacts (per-seed
+        # per-kind saves would each device_get a full state: ~3S round trips
+        # on a tunneled TPU where 2 suffice)
+        host_states = jax.device_get(states)
+        host_best = jax.device_get(best_states)
         for i, s in enumerate(seeds):
-            self._save_seed(best_states, i, s, best_epoch[s], best[s], kind="best")
-            self._save_seed(states, i, s, last_epoch, best[s], kind="last")
-            self._save_seed(states, i, s, last_epoch, best[s], kind="final")
+            self._save_seed(host_best, i, s, best_epoch[s], best[s], kind="best",
+                            patience_counter=patience_counters[s])
+            self._save_seed(host_states, i, s, last_epoch, best[s], kind="last",
+                            patience_counter=patience_counters[s])
+            self._save_seed(host_states, i, s, last_epoch, best[s], kind="final")
             with open(os.path.join(
                     exp.log_dir, f"log_{exp.name}_{mode}_seed_{s}.json"), "w") as f:
                 json.dump(histories[s], f, indent=4)
         return histories
 
     def _save_seed(self, states: TrainState, i: int, seed: int, epoch: int,
-                   best_loss: float, kind: str) -> None:
+                   best_loss: float, kind: str, patience_counter: int = 0) -> None:
         one = jax.tree_util.tree_map(lambda x: x[i], states)
         path = os.path.join(self.exp.checkpoint_dir, self.exp.ckpt_name(seed, kind) + ".ckpt")
         save_checkpoint(path, epoch=epoch, variables=one.variables(),
                         opt_state=one.opt_state if kind != "final" else None,
-                        best_loss=best_loss, config=self.exp)
+                        best_loss=best_loss, config=self.exp,
+                        patience_counter=patience_counter)

@@ -273,6 +273,7 @@ class Trainer:
         # ---- resume / student transfer (train_ablation.py:152-180) ----
         start_epoch = 0
         best_val = float("inf")
+        patience_counter = 0
         history = empty_history()
         resumed_opt_state = None
         last_path = self._ckpt_path(seed, "last")
@@ -291,6 +292,7 @@ class Trainer:
             if ck["config"] is not None and ck["config"].train.mode == mode:
                 start_epoch = ck["epoch"] + 1
                 best_val = ck["best_loss"]
+                patience_counter = ck["patience_counter"]
             # With save_every > 1 the `_last` checkpoint can lag the history
             # JSON (written every epoch); truncate so re-trained epochs are not
             # appended as duplicates and indices stay == epoch numbers.
@@ -318,14 +320,24 @@ class Trainer:
             if self.verbose:
                 print(f"{TermColor.CYAN}    [InitFrom] {ipath}{TermColor.ENDC}")
 
+        train_ds, val_ds = train_val_split(ds, tcfg.val_fraction, seed)
+        if len(train_ds) == 0 or len(val_ds) == 0:
+            raise ValueError(
+                f"val_fraction={tcfg.val_fraction} splits {len(ds)} windows "
+                f"into train={len(train_ds)}/val={len(val_ds)}; both must be "
+                f"non-empty")
+
         if (tcfg.codebook_data_init and mode == "teacher" and start_epoch == 0
                 and not (tcfg.resume and os.path.exists(last_path))):
             from .codebook_seed import seed_codebook_variables
+            # seed from the TRAIN split (already a random permutation subset):
+            # the raw dataset prefix would leak val windows into the codebook
+            # and, on sequence-ordered datasets, cover only a few motions
             variables = seed_codebook_variables(
-                model, variables, ds.robot[: tcfg.batch_size])
+                model, variables, train_ds.robot[: tcfg.batch_size])
             if self.verbose:
                 print(f"{TermColor.CYAN}    [Seed] codebook data init "
-                      f"({min(len(ds), tcfg.batch_size)} windows){TermColor.ENDC}")
+                      f"({min(len(train_ds), tcfg.batch_size)} windows){TermColor.ENDC}")
 
         params, rest = split_variables(variables)
         tx = make_optimizer(exp, params)
@@ -341,7 +353,6 @@ class Trainer:
                 pass
         state = TrainState(params, rest, opt_state)
 
-        train_ds, val_ds = train_val_split(ds, tcfg.val_fraction, seed)
         n_train = len(train_ds)
         idx_val = jnp.asarray(val_index_matrix(len(val_ds), tcfg.batch_size))
 
@@ -353,7 +364,6 @@ class Trainer:
         train_epoch, eval_epoch = self._fns
 
         patience = tcfg.patience
-        patience_counter = 0
         t0 = time.time()
 
         # a resume past tcfg.epochs runs zero iterations; the final save below
@@ -389,28 +399,34 @@ class Trainer:
                 epoch_log(epoch, logs["train_loss"], cur,
                           "Recon" if mode == "teacher" else "Align", eta)
 
+            # best tracking FIRST (train_ablation.py:287-301) so the `_last`
+            # snapshot records the post-epoch best: saving a stale best_val
+            # into `_last` let a resumed run overwrite a better `_best`
+            # checkpoint with a worse state
+            improved = cur < best_val
+            if improved:
+                best_val = cur
+                patience_counter = 0
+                save_checkpoint(self._ckpt_path(seed, "best"), epoch=epoch,
+                                variables=state.variables(), opt_state=state.opt_state,
+                                best_loss=best_val, config=exp)
+            else:
+                patience_counter += 1
+
             # save last + history (every epoch by default, train_ablation.py:276-284;
             # save_every > 1 reduces device->host checkpoint traffic on tunneled TPUs)
             if epoch % max(tcfg.save_every, 1) == 0 or epoch == tcfg.epochs - 1:
                 save_checkpoint(last_path, epoch=epoch, variables=state.variables(),
-                                opt_state=state.opt_state, best_loss=best_val, config=exp)
+                                opt_state=state.opt_state, best_loss=best_val,
+                                config=exp, patience_counter=patience_counter)
             with open(self._log_path(seed), "w") as f:
                 json.dump(history, f, indent=4)
 
-            # best tracking + early stop (train_ablation.py:287-301)
-            if cur < best_val:
-                best_val = cur
-                save_checkpoint(self._ckpt_path(seed, "best"), epoch=epoch,
-                                variables=state.variables(), opt_state=state.opt_state,
-                                best_loss=best_val, config=exp)
-                patience_counter = 0
-            elif patience > 0:
-                patience_counter += 1
-                if patience_counter >= patience:
-                    if self.verbose:
-                        print(f"{TermColor.RED}!!! Early stopping at epoch {epoch} "
-                              f"(no improvement for {patience}) !!!{TermColor.ENDC}")
-                    break
+            if not improved and patience > 0 and patience_counter >= patience:
+                if self.verbose:
+                    print(f"{TermColor.RED}!!! Early stopping at epoch {epoch} "
+                          f"(no improvement for {patience}) !!!{TermColor.ENDC}")
+                break
 
         # final artifacts (run_task, train_ablation.py:350-364)
         save_checkpoint(self._ckpt_path(seed, "final"), epoch=epoch,

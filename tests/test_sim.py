@@ -265,3 +265,14 @@ def test_live_viewer_page_and_server(g1, rng):
                                  f"(last body: {len(body)} bytes)")
         time.sleep(0.05)
     assert body.decode() == html
+
+
+def test_viewer_rejects_empty_trajectory(g1):
+    """A single-frame input resamples to zero frames; the page builder must
+    fail with a diagnosis instead of emitting JS that dies on FRAMES[0]."""
+    from bridgerl_tpu.sim.live import build_viewer_html
+
+    with pytest.raises(ValueError, match="zero frames"):
+        build_viewer_html(g1, np.zeros((0, g1.num_links, 3), np.float32))
+    with pytest.raises(ValueError, match="link positions"):
+        build_viewer_html(g1, np.zeros((5, 3), np.float32))

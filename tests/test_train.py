@@ -326,10 +326,13 @@ def test_two_stage_init_from_and_codebook_seed_through_trainer(tiny_data, tmp_pa
 
     # first-stage codebook was seeded FROM THE DATA: with the transferred
     # encoder, every code sits within jitter distance of a real latent sample
-    # (trainer seeds from ds.robot[:batch_size], trainer.py:312-319)
+    # (trainer seeds from the TRAIN split's first batch_size windows, so the
+    # codebook never sees held-out val windows)
+    from bridgerl_tpu.data.dataset import train_val_split
+    train_ds, _ = train_val_split(tiny_data, exp_hy.train.val_fraction, 42)
     model, template = init_model(exp_hy.model, jax.random.key(0))
     variables = restore_variables(template, hy_ck["variables"])
-    z = model.apply(variables, tiny_data.robot[: exp_hy.train.batch_size],
+    z = model.apply(variables, train_ds.robot[: exp_hy.train.batch_size],
                     method=model.encode_robot)
     flat = np.asarray(z, np.float32).reshape(-1, z.shape[-1])
     vq0 = np.asarray(variables["qstats"]["quantizer"]["rvq"]["vq_0"]["embedding"],
@@ -339,3 +342,70 @@ def test_two_stage_init_from_and_codebook_seed_through_trainer(tiny_data, tmp_pa
     assert d.max() < 0.05 * scale, (d.max(), scale)
     np.testing.assert_array_equal(
         np.asarray(variables["qstats"]["quantizer"]["rvq"]["vq_0"]["ema_w"]), vq0)
+
+
+# ---------- round-3 review regressions: resume/best/patience/split ----------
+
+def test_last_checkpoint_records_post_epoch_best(tiny_data, tmp_path):
+    """Regression: `_last` used to snapshot the PRE-update best_val, so a
+    kill/resume restored a stale best and could overwrite a better `_best`
+    checkpoint with a worse state."""
+    exp = small_exp(str(tmp_path), epochs=3, save_every=1)
+    history = Trainer(exp, verbose=False).train_seed(tiny_data, 42)
+    ck = load_checkpoint(os.path.join(
+        exp.checkpoint_dir, exp.ckpt_name(42, "last") + ".ckpt"))
+    assert ck["best_loss"] == pytest.approx(min(history["val_loss"]))
+
+
+def test_patience_counter_survives_resume(tiny_data, tmp_path):
+    """A kill/resume cycle must early-stop at the same epoch an uninterrupted
+    run would: the patience counter travels in the `_last` checkpoint.
+
+    transformer + lr=0 makes val exactly constant after epoch 0 (LayerNorm
+    has no running stats, params frozen), so the counter's trajectory is
+    fully deterministic: epoch 0 improves (counter 0), every later epoch
+    increments it."""
+    import dataclasses
+
+    exp = small_exp(str(tmp_path), arch="transformer", epochs=2, patience=3,
+                    learning_rate=0.0, save_every=1)
+    Trainer(exp, verbose=False).train_seed(tiny_data, 42)
+    ck = load_checkpoint(os.path.join(
+        exp.checkpoint_dir, exp.ckpt_name(42, "last") + ".ckpt"))
+    assert ck["patience_counter"] == 1  # epoch 1 did not improve
+
+    # resume: epochs 2 (counter 2) and 3 (counter 3 -> stop). Without the
+    # persisted counter the resumed run would train through epoch 4.
+    exp2 = dataclasses.replace(
+        exp, train=dataclasses.replace(exp.train, epochs=10, resume=True))
+    h = Trainer(exp2, verbose=False).train_seed(tiny_data, 42)
+    assert len(h["train_loss"]) == 4
+
+
+def test_empty_val_split_rejected(tiny_data, tmp_path):
+    from bridgerl_tpu.train import MultiSeedTrainer
+
+    exp = small_exp(str(tmp_path), val_fraction=0.0)
+    with pytest.raises(ValueError, match="val_fraction"):
+        Trainer(exp, verbose=False).train_seed(tiny_data, 42)
+    exp2 = small_exp(str(tmp_path), val_fraction=0.0, seeds=(42, 43))
+    with pytest.raises(ValueError, match="val_fraction"):
+        MultiSeedTrainer(exp2, verbose=False).run(tiny_data)
+
+
+def test_multiseed_init_matches_sequential(tmp_path):
+    """Both trainers must produce the IDENTICAL model for a given seed (the
+    multiseed partial-resume error directs users to the sequential Trainer as
+    a drop-in equivalent; multiseed used to init from the raw root key while
+    the Trainer inits from split(root)[0])."""
+    from bridgerl_tpu.train.multiseed import init_states_vmapped
+
+    exp = small_exp(str(tmp_path), seeds=(42, 43))
+    states = init_states_vmapped(exp, [42, 43])
+    for i, s in enumerate((42, 43)):
+        init_key, _ = jax.random.split(jax.random.key(np.uint32(s)))
+        _, variables = init_model(exp.model, init_key)  # the Trainer's init
+        got = jax.tree_util.tree_map(lambda x: x[i], states.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            variables["params"], got)
