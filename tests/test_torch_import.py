@@ -1,0 +1,380 @@
+"""Numerical equivalence of the torch-checkpoint importer (export/torch_import).
+
+The torch side rebuilds the reference DualMotionVQVAE from its documented
+layer recipes using stock torch modules (reference models/vqvae.py:508-617;
+encoders :293-410, transformer towers :429-499, quantizers :10-259) — it
+plays the role of the MIGRATION SOURCE: a user's trained reference checkpoint.
+Each test randomizes a twin, exports its state_dict, imports it through
+`import_torch_checkpoint`, and asserts our flax forward reproduces the torch
+forward in eval mode.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from bridgerl_tpu.export.torch_import import (  # noqa: E402
+    import_torch_checkpoint,
+    sniff_spec,
+    split_payload,
+)
+from bridgerl_tpu.models import init_model  # noqa: E402
+
+
+# --------------------------------------------------------------- torch twins
+
+class _Res(tnn.Module):
+    """ResBlock1D recipe: (conv3-BN-LeakyReLU)x2 + skip (vqvae.py:265-278)."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.net = tnn.Sequential(
+            tnn.Conv1d(c, c, 3, 1, 1), tnn.BatchNorm1d(c), tnn.LeakyReLU(0.2),
+            tnn.Conv1d(c, c, 3, 1, 1), tnn.BatchNorm1d(c), tnn.LeakyReLU(0.2))
+
+    def forward(self, x):
+        return x + self.net(x)
+
+
+class _Tower(tnn.Module):
+    """Conv towers hang their Sequential off a `.model` attribute
+    (Encoder/Decoder/NoDownsample*, vqvae.py:298, 332, 378, 400)."""
+
+    def __init__(self, seq):
+        super().__init__()
+        self.model = seq
+
+    def forward(self, x):
+        return self.model(x)
+
+
+def _encoder(arch, cin, h):
+    """Encoder tower recipes (simple/resnet :293-325, no_down :370-391)."""
+    if arch == "simple":
+        return _Tower(tnn.Sequential(
+            tnn.Conv1d(cin, h, 4, 2, 1), tnn.LeakyReLU(0.2),
+            tnn.Conv1d(h, h, 4, 2, 1), tnn.LeakyReLU(0.2)))
+    if arch == "resnet":
+        return _Tower(tnn.Sequential(
+            tnn.Conv1d(cin, h, 4, 2, 1), tnn.LeakyReLU(0.2),
+            *[_Res(h) for _ in range(4)],
+            tnn.Conv1d(h, h, 4, 2, 1), tnn.LeakyReLU(0.2), _Res(h)))
+    m = tnn.Sequential(tnn.Conv1d(cin, h, 3, 1, 1), tnn.LeakyReLU(0.2))
+    for i in range(4):
+        m.add_module(f"res_{i}", _Res(h))
+    m.add_module("final_conv", tnn.Conv1d(h, h, 3, 1, 1))
+    m.add_module("final_act", tnn.LeakyReLU(0.2))
+    return _Tower(m)
+
+
+def _decoder(arch, cout, h):
+    """Decoder tower recipes (simple/resnet :327-365, no_down :393-410)."""
+    if arch == "simple":
+        return _Tower(tnn.Sequential(
+            tnn.ConvTranspose1d(h, h, 4, 2, 1), tnn.LeakyReLU(0.2),
+            tnn.ConvTranspose1d(h, cout, 4, 2, 1)))
+    if arch == "resnet":
+        return _Tower(tnn.Sequential(
+            *[_Res(h) for _ in range(4)],
+            tnn.Upsample(scale_factor=2.0, mode="nearest"),
+            tnn.Conv1d(h, h, 3, 1, 1), tnn.LeakyReLU(0.2), _Res(h),
+            tnn.Upsample(scale_factor=2.0, mode="nearest"),
+            tnn.Conv1d(h, cout, 3, 1, 1)))
+    m = tnn.Sequential()
+    for i in range(4):
+        m.add_module(f"res_{i}", _Res(h))
+    m.add_module("out_conv", tnn.Conv1d(h, cout, 3, 1, 1))
+    return _Tower(m)
+
+
+class _PE(tnn.Module):
+    """Batch-first sinusoidal PE (vqvae.py:412-424)."""
+
+    def __init__(self, d, max_len=512):
+        super().__init__()
+        pe = torch.zeros(max_len, d)
+        pos = torch.arange(max_len).float().unsqueeze(1)
+        div = torch.exp(torch.arange(0, d, 2).float() * (-math.log(1e4) / d))
+        pe[:, 0::2] = torch.sin(pos * div)
+        pe[:, 1::2] = torch.cos(pos * div)
+        self.register_buffer("pe", pe.unsqueeze(0))
+
+    def forward(self, x):
+        return x + self.pe[:, : x.size(1)]
+
+
+class _TransEnc(tnn.Module):
+    """Linear -> PE -> N encoder layers -> mean-pool -> Linear (:429-463)."""
+
+    def __init__(self, cin, hidden, d, nlayers):
+        super().__init__()
+        self.input_proj = tnn.Linear(cin, d)
+        self.pe = _PE(d)
+        layer = tnn.TransformerEncoderLayer(
+            d_model=d, nhead=4, dim_feedforward=2 * d, batch_first=True)
+        self.transformer = tnn.TransformerEncoder(layer, num_layers=nlayers)
+        self.output_proj = tnn.Linear(d, hidden)
+
+    def forward(self, x):  # (B, C, T)
+        h = self.transformer(self.pe(self.input_proj(x.permute(0, 2, 1))))
+        return self.output_proj(h.mean(1, keepdim=True)).permute(0, 2, 1)
+
+
+class _TransDec(tnn.Module):
+    """Linear -> repeat seq_len -> PE -> N layers -> Linear (:465-499)."""
+
+    def __init__(self, cout, hidden, d, nlayers, seq_len):
+        super().__init__()
+        self.seq_len = seq_len
+        self.input_proj = tnn.Linear(hidden, d)
+        self.pe = _PE(d)
+        layer = tnn.TransformerEncoderLayer(
+            d_model=d, nhead=4, dim_feedforward=2 * d, batch_first=True)
+        self.transformer = tnn.TransformerEncoder(layer, num_layers=nlayers)
+        self.output_proj = tnn.Linear(d, cout)
+
+    def forward(self, x):  # (B, hidden, 1)
+        h = self.input_proj(x.permute(0, 2, 1)).repeat(1, self.seq_len, 1)
+        return self.output_proj(self.transformer(self.pe(h))).permute(0, 2, 1)
+
+
+class _VQ(tnn.Module):
+    """Nearest-code VQ; STE output == the code in eval (:10-76)."""
+
+    def __init__(self, K, D, ema=False):
+        super().__init__()
+        self.embedding = tnn.Embedding(K, D)
+        if ema:
+            self.register_buffer("ema_cluster_size", torch.zeros(K))
+            self.register_buffer("ema_w", torch.randn(K, D))
+
+    def forward(self, z):  # (B, D, T)
+        zt = z.permute(0, 2, 1)
+        flat = zt.reshape(-1, zt.shape[-1])
+        w = self.embedding.weight
+        d = (flat.pow(2).sum(1, keepdim=True) - 2 * flat @ w.T + w.pow(2).sum(1))
+        q = self.embedding(d.argmin(1)).view(zt.shape)
+        return q.permute(0, 2, 1)
+
+
+class _RVQ(tnn.Module):
+    """Residual stack; output = sum of per-layer codes (:78-108)."""
+
+    def __init__(self, n, K, D):
+        super().__init__()
+        self.layers = tnn.ModuleList([_VQ(K, D, ema=True) for _ in range(n)])
+
+    def forward(self, z):
+        out, res = torch.zeros_like(z), z
+        for layer in self.layers:
+            q = layer(res)
+            res = res - q
+            out = out + q
+        return out
+
+
+class _FSQ(tnn.Module):
+    """project_in -> round (unbounded) -> project_out (:110-154)."""
+
+    def __init__(self, D, fdim=4):
+        super().__init__()
+        self.project_in = tnn.Conv1d(D, fdim, 1)
+        self.project_out = tnn.Conv1d(fdim, D, 1)
+
+    def forward(self, z):
+        return self.project_out(torch.round(self.project_in(z)))
+
+
+class _LFQ(tnn.Module):
+    """project_in -> sign (+1 / -1, 0 -> -1) -> project_out (:156-194)."""
+
+    def __init__(self, D, bits=10):
+        super().__init__()
+        self.project_in = tnn.Conv1d(D, bits, 1)
+        self.project_out = tnn.Conv1d(bits, D, 1)
+
+    def forward(self, z):
+        h = self.project_in(z)
+        return self.project_out(torch.where(h > 0, 1.0, -1.0))
+
+
+class _Hybrid(tnn.Module):
+    """FSQ base + 4-layer EMA RVQ on the FSQ residual (:199-241)."""
+
+    def __init__(self, D, vq_K=512):
+        super().__init__()
+        self.fsq = _FSQ(D)
+        self.vq = _RVQ(4, vq_K, D)
+
+    def forward(self, z):
+        base = self.fsq(z)
+        return base + self.vq(z - base)
+
+
+def _quantizer(method, K, D):
+    return {"standard": lambda: _VQ(K, D), "ema": lambda: _VQ(K, D, ema=True),
+            "rvq": lambda: _RVQ(4, K, D), "fsq": lambda: _FSQ(D),
+            "lfq": lambda: _LFQ(D), "hybrid": lambda: _Hybrid(D),
+            "ae": lambda: tnn.Identity()}[method]()
+
+
+class _Dual(tnn.Module):
+    """Reference DualMotionVQVAE skeleton: two encoders, shared quantizer,
+    robot decoder; human branch cross-decodes (:508-617)."""
+
+    def __init__(self, arch, method, hdim, rdim, h, window, K, d_model=32,
+                 nlayers=2):
+        super().__init__()
+        if arch == "transformer":
+            self.human_encoder = _TransEnc(hdim, h, d_model, nlayers)
+            self.robot_encoder = _TransEnc(rdim, h, d_model, nlayers)
+            self.robot_decoder = _TransDec(rdim, h, d_model, nlayers, window)
+        else:
+            self.human_encoder = _encoder(arch, hdim, h)
+            self.robot_encoder = _encoder(arch, rdim, h)
+            self.robot_decoder = _decoder(arch, rdim, h)
+        self.quantizer = _quantizer(method, K, h)
+
+    def forward(self, xr, xh):  # channel-first (B, C, T)
+        recon = self.robot_decoder(self.quantizer(self.robot_encoder(xr)))
+        retarg = self.robot_decoder(self.quantizer(self.human_encoder(xh)))
+        return recon, retarg
+
+
+def _randomize(model, seed):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.25)
+        for name, b in model.named_buffers():
+            if name.endswith("running_mean"):
+                b.copy_(torch.randn(b.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                b.copy_(torch.rand(b.shape, generator=g) + 0.5)
+    model.eval()
+    return model
+
+
+# -------------------------------------------------------------------- tests
+
+HDIM, RDIM, H, WINDOW, K = 6, 5, 16, 8, 32
+
+CASES = [("transformer", "hybrid"), ("transformer", "ae"),
+         ("resnet", "ema"), ("resnet", "rvq"), ("resnet", "fsq"),
+         ("resnet", "lfq"), ("simple", "standard"), ("resnet_no_down", "ae")]
+
+
+def _payload(twin, arch, method):
+    sd = {k: v.numpy() for k, v in twin.state_dict().items()}
+    return {"model_state_dict": sd, "epoch": 7, "best_loss": 0.125,
+            "config": {"arch": arch, "method": method, "window": WINDOW,
+                       "mode": "teacher"}}
+
+
+@pytest.mark.parametrize("arch,method", CASES)
+def test_full_model_import_matches_torch_forward(arch, method):
+    twin = _randomize(_Dual(arch, method, HDIM, RDIM, H, WINDOW, K), 0)
+    exp, variables, meta = import_torch_checkpoint(_payload(twin, arch, method))
+    assert meta["epoch"] == 7 and exp.model.window_size == WINDOW
+    assert exp.model.human_input_dim == HDIM and exp.model.robot_input_dim == RDIM
+
+    rng = np.random.default_rng(1)
+    xr = rng.normal(size=(4, WINDOW, RDIM)).astype(np.float32)
+    xh = rng.normal(size=(4, WINDOW, HDIM)).astype(np.float32)
+    with torch.no_grad():
+        t_recon, t_ret = twin(torch.from_numpy(xr.transpose(0, 2, 1)),
+                              torch.from_numpy(xh.transpose(0, 2, 1)))
+
+    model, _ = init_model(exp.model, jax.random.key(0))
+    out = model.apply(variables, jnp.asarray(xr), jnp.asarray(xh), train=False)
+    np.testing.assert_allclose(np.asarray(out["robot"]["recon"]),
+                               t_recon.numpy().transpose(0, 2, 1),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["human"]["retargeted"]),
+                               t_ret.numpy().transpose(0, 2, 1),
+                               rtol=1e-4, atol=2e-5)
+
+
+def test_sniff_spec_from_shapes_alone():
+    """A bare `_final.pth` state_dict has no config; everything except the
+    window must come from key names + weight shapes."""
+    twin = _randomize(_Dual("transformer", "hybrid", HDIM, RDIM, H, WINDOW, K), 2)
+    sd, meta = split_payload({k: v.numpy() for k, v in twin.state_dict().items()})
+    assert meta["config"] == {}
+    spec = sniff_spec(sd)
+    assert spec["arch"] == "transformer" and spec["method"] == "hybrid"
+    assert spec["d_model"] == 32 and spec["n_tf_layers"] == 2
+    assert spec["hidden_dim"] == H and spec["ff_dim"] == 64
+    assert spec["human_input_dim"] == HDIM and spec["robot_input_dim"] == RDIM
+
+    # bare state_dict + no window -> must refuse rather than guess
+    with pytest.raises(ValueError, match="window"):
+        import_torch_checkpoint({k: v.numpy() for k, v in twin.state_dict().items()})
+
+
+def test_module_prefix_and_mismatch_rejection():
+    twin = _randomize(_Dual("simple", "standard", HDIM, RDIM, H, WINDOW, K), 3)
+    sd = {f"module.{k}": v.numpy() for k, v in twin.state_dict().items()}
+    exp, variables, _ = import_torch_checkpoint(
+        {"model_state_dict": sd, "config": {"arch": "simple",
+                                            "method": "standard",
+                                            "window": WINDOW}})
+    assert exp.model.arch == "simple"
+
+    # claiming the wrong arch must fail loudly, not fill a partial tree
+    with pytest.raises(ValueError):
+        import_torch_checkpoint(
+            {"model_state_dict": sd, "config": {"arch": "resnet",
+                                                "method": "standard",
+                                                "window": WINDOW}})
+
+
+def test_cli_roundtrip(tmp_path):
+    """pth -> import CLI -> .ckpt -> load_checkpoint -> same forward."""
+    import subprocess
+    import sys as _sys
+
+    from bridgerl_tpu.train.checkpoint import load_checkpoint, restore_variables
+
+    twin = _randomize(_Dual("resnet", "ema", HDIM, RDIM, H, WINDOW, K), 4)
+    pth = tmp_path / "ref_best.pth"
+    torch.save(_payload(twin, "resnet", "ema"), pth)
+    out = tmp_path / "imported.ckpt"
+    import os
+
+    env = dict(os.environ, BRIDGERL_PLATFORM="cpu")
+    r = subprocess.run(
+        [_sys.executable, "scripts/import_torch_ckpt.py", "--pth", str(pth),
+         "--out", str(out), "--check"],
+        capture_output=True, text=True, cwd=str(Path_repo()), env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "check ok" in r.stdout
+
+    ck = load_checkpoint(str(out))
+    assert ck["epoch"] == 7 and ck["config"].model.arch == "resnet"
+    model, template = init_model(ck["config"].model, jax.random.key(0))
+    variables = restore_variables(template, ck["variables"])
+
+    rng = np.random.default_rng(5)
+    xr = rng.normal(size=(2, WINDOW, RDIM)).astype(np.float32)
+    xh = rng.normal(size=(2, WINDOW, HDIM)).astype(np.float32)
+    with torch.no_grad():
+        t_recon, _ = twin(torch.from_numpy(xr.transpose(0, 2, 1)),
+                          torch.from_numpy(xh.transpose(0, 2, 1)))
+    o = model.apply(variables, jnp.asarray(xr), jnp.asarray(xh), train=False)
+    np.testing.assert_allclose(np.asarray(o["robot"]["recon"]),
+                               t_recon.numpy().transpose(0, 2, 1),
+                               rtol=1e-4, atol=2e-5)
+
+
+def Path_repo():
+    from pathlib import Path as _P
+
+    return _P(__file__).resolve().parents[1]
