@@ -77,6 +77,7 @@ def _qkv(slot: int, n_heads: int) -> Callable[[np.ndarray], np.ndarray]:
             return np.ascontiguousarray(part.T.reshape(d, n_heads, d // n_heads))
         return np.ascontiguousarray(part.reshape(n_heads, d // n_heads))
 
+    fn.kind = ("qkv", slot)
     return fn
 
 
@@ -85,7 +86,30 @@ def _out_proj(n_heads: int) -> Callable[[np.ndarray], np.ndarray]:
         d = w.shape[0]
         return np.ascontiguousarray(w.T.reshape(n_heads, d // n_heads, d))
 
+    fn.kind = ("outproj",)
     return fn
+
+
+# inverses of the simple transforms, keyed by function identity (the packed
+# qkv / out_proj closures invert via their `kind` tag in
+# export_torch_state_dict — they merge/split a shared torch tensor)
+
+def _inv_convt(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w[::-1].transpose(1, 2, 0))
+
+
+_INVERSE: Dict[Callable, Callable] = {}
+
+
+def _register_inverses() -> None:
+    _INVERSE[_t] = lambda w: np.ascontiguousarray(w.T)
+    _INVERSE[_conv] = lambda w: np.ascontiguousarray(w.transpose(2, 1, 0))
+    _INVERSE[_convt] = _inv_convt
+    _INVERSE[_proj1x1] = lambda w: np.ascontiguousarray(w.T[:, :, None])
+    _INVERSE[_copy] = _copy
+
+
+_register_inverses()
 
 
 # ------------------------------------------------------------- tower tables
@@ -479,3 +503,53 @@ def load_pth(path: str) -> Any:
         print("[torch_import] weights_only load failed; retrying with "
               "full pickle (trusted-source checkpoints only)")
         return torch.load(path, map_location="cpu", weights_only=False)
+
+
+# ------------------------------------------------- reverse: export to torch
+
+def _lookup(variables: Dict[str, Any], path: Path) -> np.ndarray:
+    node: Any = variables
+    for part in path:
+        try:
+            node = node[part]
+        except (KeyError, TypeError):
+            raise KeyError(
+                f"variables missing {'/'.join(path)} (arch/method mismatch?)")
+    return np.asarray(node, dtype=np.float32)
+
+
+def export_torch_state_dict(variables: Dict[str, Any], arch: str, method: str,
+                            *, n_tf_layers: int = 4, n_heads: int = 4,
+                            num_res_layers: int = 4,
+                            rvq_layers: int = 4) -> Dict[str, np.ndarray]:
+    """Our variable tree -> a reference-format torch state_dict (numpy values).
+
+    The exact inverse of the import mapping, so TPU-trained weights run in the
+    reference's own torch deployment scripts (export_motion.py loads with
+    strict=False, so the buffer constants the reference modules rebuild at
+    init — PE tables, FSQ/LFQ index bases — need not be shipped).
+    """
+    key_map = build_key_map(arch, method, n_tf_layers=n_tf_layers,
+                            n_heads=n_heads, num_res_layers=num_res_layers,
+                            rvq_layers=rvq_layers)
+    sd: Dict[str, np.ndarray] = {}
+    for path, (tkey, fn) in key_map.items():
+        arr = _lookup(variables, path)
+        kind = getattr(fn, "kind", None)
+        if kind is None:
+            sd[tkey] = _INVERSE[fn](arr)
+        elif kind[0] == "outproj":
+            d = arr.shape[-1]
+            sd[tkey] = np.ascontiguousarray(arr.reshape(d, d).T)
+        else:  # ("qkv", slot): merge into the packed in_proj tensor
+            slot = kind[1]
+            if arr.ndim == 3:   # kernel (d, h, hd) -> rows (d, d)
+                d = arr.shape[0]
+                part = np.ascontiguousarray(arr.reshape(d, d).T)
+            else:               # bias (h, hd) -> (d,)
+                d = arr.size
+                part = np.ascontiguousarray(arr.reshape(-1))
+            buf = sd.setdefault(
+                tkey, np.zeros((3 * d,) + part.shape[1:], np.float32))
+            buf[slot * d: (slot + 1) * d] = part
+    return sd

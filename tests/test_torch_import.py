@@ -378,3 +378,70 @@ def Path_repo():
     from pathlib import Path as _P
 
     return _P(__file__).resolve().parents[1]
+
+
+# ----------------------------------------------- reverse: export back to torch
+
+@pytest.mark.parametrize("arch,method", [("transformer", "hybrid"),
+                                         ("resnet", "rvq"),
+                                         ("simple", "standard"),
+                                         ("resnet_no_down", "ae")])
+def test_export_roundtrips_into_a_fresh_twin(arch, method):
+    """our variables -> reference state_dict -> a FRESH torch twin must
+    reproduce the original twin's forward exactly (proves the exported dict
+    is loadable by the reference model class, not just self-consistent)."""
+    from bridgerl_tpu.export.torch_import import export_torch_state_dict
+
+    twin = _randomize(_Dual(arch, method, HDIM, RDIM, H, WINDOW, K), 6)
+    exp, variables, _ = import_torch_checkpoint(_payload(twin, arch, method))
+
+    sd = export_torch_state_dict(
+        variables, arch, method, n_tf_layers=exp.model.n_tf_layers,
+        n_heads=exp.model.n_heads, num_res_layers=exp.model.num_res_layers,
+        rvq_layers=exp.model.n_layers)
+    fresh = _Dual(arch, method, HDIM, RDIM, H, WINDOW, K)
+    missing, unexpected = fresh.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+    assert not unexpected, unexpected
+    # only constant buffers the module rebuilds at init may be absent
+    assert all(m.endswith(("num_batches_tracked", "pe.pe")) for m in missing), missing
+    fresh.eval()
+
+    rng = np.random.default_rng(7)
+    xr = torch.from_numpy(rng.normal(size=(3, RDIM, WINDOW)).astype(np.float32))
+    xh = torch.from_numpy(rng.normal(size=(3, HDIM, WINDOW)).astype(np.float32))
+    with torch.no_grad():
+        a_recon, a_ret = twin(xr, xh)
+        b_recon, b_ret = fresh(xr, xh)
+    np.testing.assert_array_equal(a_recon.numpy(), b_recon.numpy())
+    np.testing.assert_array_equal(a_ret.numpy(), b_ret.numpy())
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """.ckpt -> export_torch_ckpt CLI -> .pth -> import -> identical tree."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from bridgerl_tpu.train.checkpoint import save_checkpoint
+
+    twin = _randomize(_Dual("transformer", "hybrid", HDIM, RDIM, H, WINDOW, K), 8)
+    exp, variables, _ = import_torch_checkpoint(_payload(twin, "transformer", "hybrid"))
+    ckpt = tmp_path / "ours.ckpt"
+    save_checkpoint(str(ckpt), epoch=3, variables=variables, best_loss=0.25,
+                    config=exp)
+
+    pth = tmp_path / "exported.pth"
+    env = dict(os.environ, BRIDGERL_PLATFORM="cpu")
+    r = subprocess.run(
+        [_sys.executable, "scripts/export_torch_ckpt.py", "--ckpt", str(ckpt),
+         "--out", str(pth)],
+        capture_output=True, text=True, cwd=str(Path_repo()), env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    exp2, variables2, meta2 = import_torch_checkpoint(
+        torch.load(pth, map_location="cpu", weights_only=True))
+    assert meta2["epoch"] == 3 and exp2.model.arch == "transformer"
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables, variables2)
