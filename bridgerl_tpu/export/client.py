@@ -45,11 +45,9 @@ class ServingClient:
         with urllib.request.urlopen(self.base_url + path, timeout=self.timeout) as r:
             return json.loads(r.read())
 
-    def _post(self, fn_name: str, x: np.ndarray) -> bytes:
-        buf = io.BytesIO()
-        np.save(buf, np.ascontiguousarray(x, dtype=np.float32))
+    def _post_raw(self, fn_name: str, data: bytes) -> bytes:
         req = urllib.request.Request(
-            f"{self.base_url}/v1/{fn_name}", data=buf.getvalue(),
+            f"{self.base_url}/v1/{fn_name}", data=data,
             headers={"Content-Type": _OCTET}, method="POST")
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
@@ -61,6 +59,11 @@ class ServingClient:
             except (json.JSONDecodeError, UnicodeDecodeError):
                 msg = body.decode(errors="replace")
             raise ServingError(e.code, msg) from None
+
+    def _post(self, fn_name: str, x: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.ascontiguousarray(x, dtype=np.float32))
+        return self._post_raw(fn_name, buf.getvalue())
 
     # ---- API ----
 
@@ -82,3 +85,11 @@ class ServingClient:
         npz = np.load(io.BytesIO(self._post("motion_codes", x_human)),
                       allow_pickle=False)
         return {k: npz[k] for k in npz.files}
+
+    def decode_codes(self, codes: Dict[str, np.ndarray]) -> np.ndarray:
+        """Code streams -> raw robot motion windows (motion_codes inverse)."""
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.ascontiguousarray(v, dtype=np.int32)
+                         for k, v in codes.items()})
+        return np.load(io.BytesIO(self._post_raw("decode_codes", buf.getvalue())),
+                       allow_pickle=False)

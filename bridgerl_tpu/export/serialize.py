@@ -85,9 +85,20 @@ def make_serving_fns(model, variables, robot_stats, human_stats) -> Dict[str, Ca
         return {"/".join(k[:-1]): v[0].astype(jnp.int32)
                 for k, v in sorted(flat.items()) if k[-1] == "codes"}
 
+    def decode_codes_fn(codes):
+        from ..ops.code_decode import decode_codes
+        z_q = decode_codes(model.cfg, variables, codes)
+        out = model.apply(variables, z_q, method="decode_latent")
+        return out.astype(jnp.float32) * r_std + r_mean
+
     fns = {"retarget": retarget, "robot_recon": robot_recon}
-    if getattr(model.cfg, "method", None) != "ae":
+    cfg = model.cfg
+    if getattr(cfg, "method", None) != "ae":
         fns["motion_codes"] = motion_codes
+        # decode needs an invertible index space: every method except the
+        # unbounded-FSQ variants (ops/code_decode.py docstring)
+        if not (cfg.method in ("fsq", "hybrid") and not cfg.fsq_bounded):
+            fns["decode_codes"] = decode_codes_fn
     return fns
 
 
@@ -161,8 +172,22 @@ def build_serving_artifact(
 
     blobs: Dict[str, bytes] = {}
     for name, fn in fns.items():
-        shape = jax.export.symbolic_shape(f"b, {W}, {in_dims[name]}")
-        arg = jax.ShapeDtypeStruct(shape, jnp.float32)
+        if name == "decode_codes":
+            # dict of (b, T') int32 streams; T' comes from an abstract trace
+            # of motion_codes (no device work)
+            streams = jax.eval_shape(
+                fns["motion_codes"],
+                jax.ShapeDtypeStruct((1, W, h_dim), jnp.float32))
+            b = jax.export.symbolic_shape("b")[0]
+            arg = {k: jax.ShapeDtypeStruct((b, int(v.shape[1])), jnp.int32)
+                   for k, v in streams.items()}
+            in_sig = {k: ["b", int(v.shape[1])] for k, v in streams.items()}
+            in_dtype = "int32"
+        else:
+            shape = jax.export.symbolic_shape(f"b, {W}, {in_dims[name]}")
+            arg = jax.ShapeDtypeStruct(shape, jnp.float32)
+            in_sig = ["b", W, in_dims[name]]
+            in_dtype = "float32"
         exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
         blobs[name] = exported.serialize()
         # the Exported already carries the output avals — no second trace
@@ -171,9 +196,9 @@ def build_serving_artifact(
         out_sig = ({k: _sig(v) for k, v in out_aval.items()}
                    if isinstance(out_aval, dict) else _sig(out_aval))
         meta["functions"][name] = {
-            "input": ["b", W, in_dims[name]],
+            "input": in_sig,
             "output": out_sig,
-            "dtype": "float32",
+            "dtype": in_dtype,
         }
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
@@ -209,6 +234,12 @@ class ServingModule:
     def motion_codes(self, x_human) -> Dict[str, jax.Array]:
         """Discrete per-stage code streams (absent for method='ae')."""
         return self.fns["motion_codes"](jnp.asarray(x_human, jnp.float32))
+
+    def decode_codes(self, codes: Dict[str, Any]) -> jax.Array:
+        """Code streams -> raw robot motion windows (the motion_codes
+        inverse; absent for 'ae' and unbounded-FSQ variants)."""
+        return self.fns["decode_codes"](
+            {k: jnp.asarray(v, jnp.int32) for k, v in codes.items()})
 
     @property
     def window_size(self) -> int:

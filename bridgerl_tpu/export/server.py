@@ -52,25 +52,65 @@ class ServingApp:
         self.bucket_batches = bucket_batches
         self._lock = threading.Lock()  # serialize device work across client threads
 
-    def call(self, fn_name: str, x: np.ndarray):
-        """Returns an (b, ...) array, or a dict of them for motion_codes."""
+    def call(self, fn_name: str, x):
+        """Returns an (b, ...) array, or a dict of them for motion_codes.
+
+        ``x`` is an (b, W, D) float array for the motion-in functions, or a
+        dict of (b, T') int code streams for dict-input functions
+        (decode_codes).
+        """
         sig = self.module.meta["functions"].get(fn_name)
         if sig is None:
             raise KeyError(fn_name)
-        want = (sig["input"][1], sig["input"][2])
-        if x.ndim != 3 or x.shape[1:] != want:
-            raise ValueError(
-                f"{fn_name} expects (b, {want[0]}, {want[1]}) float32, got {x.shape}")
-        x = np.asarray(x, np.float32)
-        b = x.shape[0]
-        if self.bucket_batches and _bucket(b) != b:
-            x = np.concatenate(
-                [x, np.zeros((_bucket(b) - b, *x.shape[1:]), np.float32)])
+        if isinstance(sig["input"], dict):
+            x = self._check_codes(fn_name, sig, x)
+            b = next(iter(x.values())).shape[0]
+            pad = _bucket(b) - b if self.bucket_batches else 0
+            if pad:
+                x = {k: np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), v.dtype)]) for k, v in x.items()}
+        else:
+            if not isinstance(x, np.ndarray):
+                raise ValueError(f"{fn_name} expects a single array body")
+            want = (sig["input"][1], sig["input"][2])
+            if x.ndim != 3 or x.shape[1:] != want:
+                raise ValueError(
+                    f"{fn_name} expects (b, {want[0]}, {want[1]}) float32, got {x.shape}")
+            x = np.asarray(x, np.float32)
+            b = x.shape[0]
+            if self.bucket_batches and _bucket(b) != b:
+                x = np.concatenate(
+                    [x, np.zeros((_bucket(b) - b, *x.shape[1:]), np.float32)])
         with self._lock:
             out = self.module.fns[fn_name](x)
         if isinstance(out, dict):
             return {k: np.asarray(v)[:b] for k, v in out.items()}
         return np.asarray(out)[:b]
+
+    @staticmethod
+    def _check_codes(fn_name: str, sig, x) -> dict:
+        if not isinstance(x, dict):
+            raise ValueError(
+                f"{fn_name} expects a dict of code streams "
+                f"{sorted(sig['input'])} (npz or JSON 'codes' body)")
+        missing = sorted(set(sig["input"]) - set(x))
+        extra = sorted(set(x) - set(sig["input"]))
+        if missing or extra:
+            raise ValueError(
+                f"{fn_name} streams mismatch: missing={missing} extra={extra}")
+        out, batch = {}, None
+        for k, spec in sig["input"].items():
+            v = np.asarray(x[k])
+            if v.ndim != 2 or v.shape[1] != spec[1]:
+                raise ValueError(
+                    f"{fn_name} stream {k!r} expects (b, {spec[1]}) int32, "
+                    f"got {v.shape}")
+            if batch is None:
+                batch = v.shape[0]
+            elif v.shape[0] != batch:
+                raise ValueError(f"{fn_name} streams disagree on batch size")
+            out[k] = v.astype(np.int32)
+        return out
 
 
 def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
@@ -118,11 +158,22 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
             try:
                 raw = self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 ctype = (self.headers.get("Content-Type") or _OCTET).split(";")[0]
+                sig = app.module.meta["functions"][fn_name]
+                dict_input = isinstance(sig["input"], dict)
                 if ctype == _JSON:
                     body = json.loads(raw)
-                    if not isinstance(body, dict) or "windows" not in body:
-                        raise ValueError('JSON body must be {"windows": [[[...]]]}')
-                    x = np.asarray(body["windows"], np.float32)
+                    key = "codes" if dict_input else "windows"
+                    if not isinstance(body, dict) or key not in body:
+                        raise ValueError(f'JSON body must be {{"{key}": ...}}')
+                    x = (body["codes"] if dict_input
+                         else np.asarray(body["windows"], np.float32))
+                elif dict_input:
+                    z = np.load(io.BytesIO(raw), allow_pickle=False)
+                    if isinstance(z, np.ndarray):
+                        raise ValueError(
+                            f"{fn_name} expects an .npz of code streams")
+                    with z:
+                        x = {k: z[k] for k in z.files}
                 else:
                     x = np.load(io.BytesIO(raw), allow_pickle=False)
                     if not isinstance(x, np.ndarray):

@@ -146,6 +146,15 @@ class DualMotionVQVAE(nn.Module):
     def encode_human(self, x_human: jax.Array) -> jax.Array:
         return self._pre_quant(self.human_encoder(x_human, train=False))
 
+    def decode_latent(self, z_q: jax.Array) -> jax.Array:
+        """Quantized latent (B, T', hidden) -> robot motion window (B, W, 29).
+
+        The decoder half of the robot branch on its own — the consumer of
+        `ops.code_decode.decode_codes`, turning discrete motion tokens (stored,
+        transmitted, or sampled from a prior) back into motion.
+        """
+        return self.robot_decoder(z_q, train=False)
+
 
 def init_model(cfg: ModelConfig, rng: jax.Array, batch_size: int = 2):
     """Initialize all collections by running both branches once.

@@ -1,3 +1,12 @@
+from .code_decode import (
+    code_vocab_sizes,
+    decode_codes,
+    denormalize_codes,
+    fsq_codes_to_values,
+    fsq_index_range,
+    lfq_codes_to_signs,
+    normalize_codes,
+)
 from .codebook import (
     assignment_stats,
     get_nearest_codes_backend,

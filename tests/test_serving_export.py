@@ -387,6 +387,46 @@ def test_client_motion_codes(hybrid_artifact):
         srv.server_close()
 
 
+def test_decode_codes_inverts_motion_codes(hybrid_artifact):
+    """decode_codes(motion_codes(x)) == retarget(x): the frozen artifact's
+    token streams fully determine its output motion."""
+    mod = load_serving_artifact(hybrid_artifact["zip"])
+    sig = hybrid_artifact["meta"]["functions"]["decode_codes"]
+    assert isinstance(sig["input"], dict) and sig["dtype"] == "int32"
+    assert sig["output"] == ["b", 10, 29]
+
+    x = np.random.default_rng(7).normal(size=(3, 10, 126)).astype(np.float32)
+    codes = mod.motion_codes(x)
+    decoded = np.asarray(mod.decode_codes(codes))
+    np.testing.assert_allclose(decoded, np.asarray(mod.retarget(x)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_http_decode_codes_roundtrip(hybrid_artifact):
+    """Full wire loop: windows -> codes -> decoded motion over HTTP."""
+    import threading
+    from bridgerl_tpu.export.client import ServingClient, ServingError
+    from bridgerl_tpu.export.server import make_server
+
+    srv = make_server(hybrid_artifact["zip"], port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        host, port = srv.server_address
+        c = ServingClient(f"http://{host}:{port}")
+        x = np.random.default_rng(9).normal(size=(2, 10, 126)).astype(np.float32)
+        codes = c.motion_codes(x)
+        decoded = c.decode_codes(codes)
+        np.testing.assert_allclose(decoded, c.retarget(x), rtol=2e-5, atol=2e-5)
+        # missing stream -> 400, not a dropped socket
+        broken = {k: v for k, v in list(codes.items())[1:]}
+        with pytest.raises(ServingError) as ei:
+            c.decode_codes(broken)
+        assert ei.value.status == 400 and "missing" in str(ei.value)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_batch_bucketing_pads_and_slices(tiny_artifact):
     """Bucketed batches (3 -> pad 4) return exactly b rows, same numerics."""
     from bridgerl_tpu.export.server import ServingApp, _bucket
