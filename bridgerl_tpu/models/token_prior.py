@@ -1,0 +1,191 @@
+"""Autoregressive prior over VQ motion-token streams: learn the DISTRIBUTION
+of discrete motion codes and sample novel robot motion from it.
+
+The reference's title promises "distribution reinforcement learning" over the
+VQ-VAE, but its code stops at retargeting — indices are discarded inside the
+quantizer forward (reference models/vqvae.py:38-40) and nothing downstream
+ever consumes a token. This module closes that loop TPU-natively:
+
+    windows --(robot encoder + quantizer)--> code grid (N positions x S tokens)
+    prior   : causal transformer, teacher-forced next-position prediction
+    sample  : autoregressive generation as ONE jitted lax.fori_loop program
+    decode  : ops/code_decode + DualMotionVQVAE.decode_latent -> motion
+
+A "position" is one encoder window; its S tokens are the flattened
+(stream, latent-timestep) axis — e.g. the flagship transformer+hybrid emits
+5 tokens/position (1 FSQ + 4 RVQ stages, each with T'=1), a resnet+rvq
+window emits n_layers * (W/4). Factorized heads predict all S tokens of the
+next position in parallel (RQ-transformer-style spatial factorization over a
+temporal AR backbone).
+
+Everything is static-shape and jit-friendly: embeddings sum over a fixed S,
+the causal mask is built once, and sampling runs the full-length model inside
+`lax.fori_loop` (positions are short — a 20 s take at 25 fps, W=10, S=5 is
+N=49 — so prefix recompute beats a KV cache at these sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import TransformerStack
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    """Prior architecture + the code-space contract it was trained on.
+
+    ``streams``/``vocab_sizes``/``tokens_per_stream`` pin the exact token
+    layout (normalized code space, ops/code_decode.normalize_codes) so a
+    sampled grid can always be mapped back onto quantizer streams.
+    """
+
+    streams: Tuple[str, ...]            # sorted stream names
+    vocab_sizes: Tuple[int, ...]        # per flattened token slot (len S_total)
+    tokens_per_stream: int              # T' of the underlying quantizer
+    window: int                         # encoder window (motion frames)
+    stride: int                         # window stride on the motion timeline
+    d_model: int = 256
+    n_heads: int = 4
+    n_layers: int = 4
+    ff_dim: int = 512
+    dropout: float = 0.1
+    max_len: int = 256                  # max positions (windows) per sequence
+    source_experiment: str = ""         # provenance: the VQ-VAE experiment id
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @staticmethod
+    def from_json(s: str) -> "PriorConfig":
+        d = json.loads(s)
+        d["streams"] = tuple(d["streams"])
+        d["vocab_sizes"] = tuple(d["vocab_sizes"])
+        return PriorConfig(**d)
+
+
+def flatten_vocab_sizes(stream_sizes: Sequence[Tuple[str, int]],
+                        tokens_per_stream: int) -> Tuple[int, ...]:
+    """Vocab per flattened token slot: stream-major, T'-minor order."""
+    out = []
+    for _, v in stream_sizes:
+        out.extend([v] * tokens_per_stream)
+    return tuple(out)
+
+
+class MotionTokenPrior(nn.Module):
+    """GPT-style causal transformer over flattened motion-token grids.
+
+    Input grid: (B, N, S) int32, values in the *normalized* code space
+    [0, vocab_s). Returns per-slot logits (B, N, V_s) predicting the tokens
+    at each position given every position strictly before it (slot 0..S-1 of
+    position t are conditionally independent given the prefix — the spatial
+    factorization).
+    """
+
+    cfg: PriorConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, grid: jax.Array, train: bool = False):
+        c = self.cfg
+        B, N, S = grid.shape
+        assert S == len(c.vocab_sizes), (
+            f"grid has {S} token slots, config expects {len(c.vocab_sizes)}")
+        h = jnp.zeros((B, N, c.d_model), self.dtype)
+        for s, v in enumerate(c.vocab_sizes):
+            h = h + nn.Embed(v, c.d_model, dtype=self.dtype,
+                             name=f"embed_{s}")(grid[..., s])
+        # shift right: position t sees positions < t; a learned BOS vector
+        # stands in for "before the take started"
+        bos = self.param("bos", nn.initializers.normal(0.02), (c.d_model,))
+        h = jnp.concatenate(
+            [jnp.broadcast_to(bos.astype(h.dtype), (B, 1, c.d_model)),
+             h[:, :-1]], axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (c.max_len, c.d_model))
+        h = h + pos[:N].astype(h.dtype)
+        mask = nn.make_causal_mask(jnp.zeros((B, N)))
+        h = TransformerStack(c.n_layers, c.d_model, c.n_heads, c.ff_dim,
+                             dropout=c.dropout, dtype=self.dtype,
+                             name="stack")(h, train=train, mask=mask)
+        # heads in f32: softmax/CE numerics independent of compute dtype
+        return [nn.Dense(v, dtype=jnp.float32, name=f"head_{s}")(h)
+                for s, v in enumerate(c.vocab_sizes)]
+
+
+def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean next-token cross-entropy over valid positions and token slots.
+
+    ``mask`` is (B, N) with 1.0 on real positions (padded grids train in
+    fixed shapes; XLA never sees the ragged lengths).
+    """
+    import optax
+
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    total = 0.0
+    for s, lg in enumerate(logits):
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, grid[..., s])
+        total = total + jnp.sum(ce * mask) / denom
+    return total / len(logits)
+
+
+def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
+                 batch: int, length: int, temperature: float = 1.0,
+                 top_k: Optional[int] = None) -> jax.Array:
+    """Autoregressively sample (batch, length, S) normalized code grids.
+
+    One jitted program: `lax.fori_loop` over positions, each step running the
+    full-length causal model on the grid so far (static shapes; the causal
+    mask guarantees step t only reads positions < t, so the not-yet-filled
+    suffix can hold anything).
+    """
+    S = len(model.cfg.vocab_sizes)
+    if length > model.cfg.max_len:
+        raise ValueError(f"length {length} > max_len {model.cfg.max_len}")
+
+    def step(t, carry):
+        grid, rng = carry
+        logits = model.apply(variables, grid, train=False)
+        rng, *keys = jax.random.split(rng, S + 1)
+        for s in range(S):
+            lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
+            lg = lg / jnp.asarray(max(temperature, 1e-6), lg.dtype)
+            if top_k is not None and top_k < lg.shape[-1]:
+                kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            tok = jax.random.categorical(keys[s], lg)
+            grid = jax.lax.dynamic_update_slice(
+                grid, tok[:, None, None].astype(jnp.int32), (0, t, s))
+        return grid, rng
+
+    grid0 = jnp.zeros((batch, length, S), jnp.int32)
+    grid, _ = jax.lax.fori_loop(0, length, step, (grid0, rng))
+    return grid
+
+
+def grid_to_codes(cfg: PriorConfig, grid) -> dict:
+    """(B, N, S_total) normalized grid -> per-stream NORMALIZED code dicts.
+
+    Returns {stream: (B*N, T')} — one decode row per position, ready for
+    ops/code_decode.denormalize_codes + decode_codes.
+    """
+    B, N, S = grid.shape
+    tp = cfg.tokens_per_stream
+    flat = grid.reshape(B * N, S)
+    return {name: flat[:, i * tp:(i + 1) * tp]
+            for i, name in enumerate(cfg.streams)}
+
+
+def codes_to_grid(cfg: PriorConfig, codes: dict, n_positions: int):
+    """Inverse of grid_to_codes: {stream: (B*N, T')} -> (B, N, S_total)."""
+    cols = [jnp.asarray(codes[name]) for name in cfg.streams]
+    flat = jnp.concatenate(cols, axis=-1)  # (B*N, S_total)
+    S = flat.shape[-1]
+    return flat.reshape(-1, n_positions, S).astype(jnp.int32)

@@ -26,3 +26,12 @@ from .trainer import (
     val_index_matrix,
 )
 from .multiseed import MultiSeedTrainer, init_states_vmapped
+from .prior import (
+    PriorTrainConfig,
+    extract_code_grids,
+    load_prior_checkpoint,
+    sample_motion,
+    save_prior_checkpoint,
+    stitch_windows,
+    train_prior,
+)

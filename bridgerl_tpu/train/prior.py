@@ -1,0 +1,305 @@
+"""Train the motion-token prior: code extraction, scanned-epoch training,
+checkpointing, and sampling back to motion.
+
+Pipeline (TPU-shaped like the main trainer — whole epoch is one jitted
+`lax.scan` over pre-shuffled batch indices, grids HBM-resident):
+
+    full_raw sequences --extract_code_grids--> (n_seq, max_len, S) int32 + mask
+    train_prior: AdamW + causal CE, 90/10 sequence split, early stopping
+    sample_motion: prior sample -> denormalize -> decode_codes ->
+                   decode_latent -> overlap-add stitch -> raw (T, 29) motion
+
+The reference has no generation path at all; this is the "learn the code
+distribution, then sample it" second stage standard for VQ-VAE pipelines,
+built on the same checkpoint/stats artifacts the rest of the framework uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.token_prior import (
+    MotionTokenPrior,
+    PriorConfig,
+    codes_to_grid,
+    grid_to_codes,
+    prior_loss,
+    sample_grids,
+)
+from ..ops.code_decode import (
+    code_vocab_sizes,
+    decode_codes,
+    denormalize_codes,
+    normalize_codes,
+)
+
+
+# --------------------------------------------------------------- extraction
+
+def robot_codes(model, variables, x_robot) -> Dict[str, jnp.ndarray]:
+    """Normalized-window robot batch -> {stream: (B, T') int32} code dict."""
+    from flax import traverse_util
+
+    _, mods = model.apply(variables, x_robot=x_robot, train=False,
+                          mutable=["intermediates"])
+    flat = traverse_util.flatten_dict(mods["intermediates"])
+    return {"/".join(k[:-1]): v[0].astype(jnp.int32)
+            for k, v in sorted(flat.items()) if k[-1] == "codes"}
+
+
+def extract_code_grids(
+    model, variables, exp, sequences: List[np.ndarray],
+    mean: np.ndarray, std: np.ndarray, stride: int,
+    max_len: int = 256, batch_windows: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray, PriorConfig]:
+    """Tokenize raw robot sequences into padded normalized code grids.
+
+    Windows are taken on the pure stride grid (start + W <= T) so positions
+    advance uniformly in time — the property the prior models. Returns
+    (grids (n_seq, max_len, S), mask (n_seq, max_len), PriorConfig).
+    """
+    W = exp.model.window_size
+    sizes = sorted(code_vocab_sizes(exp.model).items())
+    per_seq_windows: List[np.ndarray] = []
+    counts: List[int] = []
+    for seq in sequences:
+        seq = np.asarray(seq, np.float32)
+        starts = range(0, seq.shape[0] - W + 1, stride)
+        wins = [seq[s:s + W] for s in starts][:max_len]
+        if not wins:
+            continue
+        per_seq_windows.append(np.stack(wins))
+        counts.append(len(wins))
+    if not per_seq_windows:
+        raise ValueError(f"no sequence yields a full window (W={W})")
+
+    all_wins = np.concatenate(per_seq_windows)          # (total, W, 29)
+    norm = (all_wins - mean) / std
+    total = norm.shape[0]
+    # pad to a chunk multiple: every encode call has ONE static shape
+    # (a ragged tail chunk would cost a second multi-minute tunnel compile)
+    chunk = min(batch_windows, total)
+    pad = (-total) % chunk
+    if pad:
+        norm = np.concatenate([norm, np.zeros((pad, *norm.shape[1:]), np.float32)])
+
+    encode = jax.jit(lambda x: robot_codes(model, variables, x))
+    chunks: List[Dict[str, np.ndarray]] = []
+    for i in range(0, norm.shape[0], chunk):
+        out = encode(jnp.asarray(norm[i:i + chunk]))
+        chunks.append({k: np.asarray(v) for k, v in out.items()})
+    codes = {k: np.concatenate([c[k] for c in chunks])[:total]
+             for k in chunks[0]}
+    codes = {k: np.asarray(v) for k, v in
+             normalize_codes(exp.model, codes).items()}
+
+    tokens_per_stream = codes[sizes[0][0]].shape[1]
+    from ..models.token_prior import flatten_vocab_sizes
+    pcfg = PriorConfig(
+        streams=tuple(name for name, _ in sizes),
+        vocab_sizes=flatten_vocab_sizes(sizes, tokens_per_stream),
+        tokens_per_stream=tokens_per_stream,
+        window=W, stride=int(stride), max_len=max_len,
+        source_experiment=exp.id,
+    )
+
+    S = len(pcfg.vocab_sizes)
+    flat = np.concatenate([codes[name] for name, _ in sizes], axis=-1)  # (total, S)
+    grids = np.zeros((len(counts), max_len, S), np.int32)
+    mask = np.zeros((len(counts), max_len), np.float32)
+    off = 0
+    for i, n in enumerate(counts):
+        grids[i, :n] = flat[off:off + n]
+        mask[i, :n] = 1.0
+        off += n
+    return grids, mask, pcfg
+
+
+# ----------------------------------------------------------------- training
+
+@dataclasses.dataclass
+class PriorTrainConfig:
+    epochs: int = 200
+    batch_size: int = 32
+    lr: float = 3e-4
+    weight_decay: float = 0.01
+    val_fraction: float = 0.1
+    patience: int = 30
+    seed: int = 42
+    compute_dtype: str = "float32"
+
+
+def train_prior(
+    grids: np.ndarray, mask: np.ndarray, pcfg: PriorConfig,
+    tcfg: PriorTrainConfig, verbose: bool = True,
+) -> Tuple[Dict[str, Any], Dict[str, List[float]]]:
+    """Returns (best variables, history). Whole epoch = one jitted scan."""
+    import optax
+
+    n = grids.shape[0]
+    rng = np.random.default_rng(tcfg.seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(n * tcfg.val_fraction)) if n > 1 else 0
+    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    if train_idx.size == 0:
+        raise ValueError("prior training needs at least one train sequence")
+    bs = min(tcfg.batch_size, train_idx.size)
+    steps = train_idx.size // bs
+
+    dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
+    model = MotionTokenPrior(pcfg, dtype=dtype)
+    key = jax.random.key(tcfg.seed)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((2, grids.shape[1], grids.shape[2]),
+                                     jnp.int32), train=False)
+    params = variables["params"]
+    tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
+    opt_state = tx.init(params)
+
+    g_dev = jnp.asarray(grids)
+    m_dev = jnp.asarray(mask)
+    gv = jnp.asarray(grids[val_idx]) if n_val else None
+    mv = jnp.asarray(mask[val_idx]) if n_val else None
+
+    def loss_fn(p, g, m, drop_key):
+        logits = model.apply({"params": p}, g, train=True,
+                             rngs={"dropout": drop_key})
+        return prior_loss(logits, g, m)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, idx_mat, drop_key):
+        def step(carry, args):
+            p, o = carry
+            idx, k = args
+            loss, grads = jax.value_and_grad(loss_fn)(
+                p, g_dev[idx], m_dev[idx], k)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        keys = jax.random.split(drop_key, idx_mat.shape[0])
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), (idx_mat, keys))
+        return params, opt_state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_fn(params):
+        logits = model.apply({"params": params}, gv, train=False)
+        return prior_loss(logits, gv, mv)
+
+    history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
+    best, best_params, patience = float("inf"), params, 0
+    t0 = time.time()
+    for ep in range(tcfg.epochs):
+        order = np.random.default_rng(tcfg.seed * 100003 + ep).permutation(
+            train_idx)[: steps * bs]
+        idx_mat = jnp.asarray(order.reshape(steps, bs))
+        params, opt_state, tr = epoch_fn(
+            params, opt_state, idx_mat,
+            jax.random.fold_in(jax.random.key(tcfg.seed + 1), ep))
+        vl = float(eval_fn(params)) if n_val else float(tr)
+        history["train_loss"].append(float(tr))
+        history["val_loss"].append(vl)
+        if vl < best - 1e-6:
+            best, best_params, patience = vl, jax.device_get(params), 0
+        else:
+            patience += 1
+        if verbose and (ep % 10 == 0 or ep == tcfg.epochs - 1):
+            print(f"[prior] ep {ep}: train {float(tr):.4f} val {vl:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if tcfg.patience > 0 and patience >= tcfg.patience:
+            if verbose:
+                print(f"[prior] early stop at epoch {ep} (best {best:.4f})",
+                      flush=True)
+            break
+    return {"params": best_params}, history
+
+
+# ------------------------------------------------------------- checkpointing
+
+def save_prior_checkpoint(path: str, variables, pcfg: PriorConfig,
+                          history: Optional[dict] = None) -> None:
+    import flax
+
+    payload = {
+        "kind": "bridgerl-token-prior",
+        "variables": flax.serialization.to_state_dict(
+            jax.device_get(variables)),
+        "config_json": pcfg.to_json(),
+        "history": history or {},
+    }
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_prior_checkpoint(path: str):
+    """Returns (model, variables, PriorConfig)."""
+    import flax
+
+    with open(path, "rb") as f:
+        payload = flax.serialization.msgpack_restore(f.read())
+    if payload.get("kind") != "bridgerl-token-prior":
+        raise ValueError(f"{path}: not a token-prior checkpoint")
+    pcfg = PriorConfig.from_json(payload["config_json"])
+    model = MotionTokenPrior(pcfg)
+    template = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+        jnp.zeros((1, pcfg.max_len, len(pcfg.vocab_sizes)), jnp.int32),
+        train=False)
+    variables = flax.serialization.from_state_dict(template, payload["variables"])
+    return model, variables, pcfg
+
+
+# ------------------------------------------------------------- generation
+
+def stitch_windows(windows: np.ndarray, stride: int, *,
+                   counts_floor: float = 1.0) -> np.ndarray:
+    """Overlap-add average of consecutive windows placed at the stride grid.
+
+    windows (N, W, D) -> (stride * (N-1) + W, D); same averaging as the
+    offline reconstruction (export/reconstruct.py), applied to generated
+    windows whose placement is by construction the pure stride grid.
+    """
+    N, W, D = windows.shape
+    T = stride * (N - 1) + W
+    acc = np.zeros((T, D), np.float64)
+    cnt = np.zeros((T, 1), np.float64)
+    for i in range(N):
+        s = i * stride
+        acc[s:s + W] += windows[i]
+        cnt[s:s + W] += 1.0
+    return (acc / np.maximum(cnt, counts_floor)).astype(np.float32)
+
+
+def sample_motion(
+    vq_model, vq_variables, exp, prior_model, prior_variables,
+    mean: np.ndarray, std: np.ndarray, *, n_samples: int = 4,
+    n_positions: int = 32, temperature: float = 1.0,
+    top_k: Optional[int] = None, seed: int = 0,
+) -> List[np.ndarray]:
+    """Sample new token grids and decode them to raw robot motions.
+
+    Returns a list of (T, 29) float32 raw joint trajectories,
+    T = stride*(n_positions-1) + W.
+    """
+    pcfg = prior_model.cfg
+    grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
+                        n_samples, n_positions, temperature=temperature,
+                        top_k=top_k)
+    codes = grid_to_codes(pcfg, grid)                      # normalized
+    codes = denormalize_codes(exp.model, codes)            # raw index space
+    z_q = decode_codes(exp.model, vq_variables, codes)     # (B*N, T', hidden)
+    wins = vq_model.apply(vq_variables, z_q, method="decode_latent")
+    wins = np.asarray(wins, np.float32) * std + mean       # raw windows
+    W = pcfg.window
+    wins = wins.reshape(n_samples, n_positions, W, -1)
+    return [stitch_windows(w, pcfg.stride) for w in wins]

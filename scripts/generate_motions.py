@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Sample NOVEL G1 motion from a trained motion-token prior.
+
+The generation loop the reference's title promises but never ships: the prior
+(scripts/train_prior.py) samples new token grids from the learned code
+distribution; the VQ-VAE's decoder turns them back into joint trajectories
+(ops/code_decode + decode_latent + overlap-add stitch); the kinematic scene
+renders them.
+
+    python scripts/generate_motions.py --ckpt checkpoints/..._best.ckpt \
+        --prior checkpoints/prior.ckpt --num 4 --positions 32 \
+        --out_dir motions/generated --render
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True, help="trained VQ-VAE checkpoint")
+    p.add_argument("--prior", required=True, help="token-prior checkpoint")
+    p.add_argument("--data_dir", default="data/processed")
+    p.add_argument("--out_dir", default="motions/generated")
+    p.add_argument("--num", type=int, default=4, help="motions to sample")
+    p.add_argument("--positions", type=int, default=32,
+                   help="windows per motion (length = stride*(N-1)+W frames)")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render", action="store_true",
+                   help="also render each sample to a skeleton GIF")
+    p.add_argument("--fps", type=int, default=20, help="assumed motion fps")
+    args = p.parse_args()
+
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import numpy as np
+
+    from bridgerl_tpu.export.motion_export import (
+        load_model_from_checkpoint,
+        load_stats,
+    )
+    from bridgerl_tpu.train.prior import load_prior_checkpoint, sample_motion
+
+    vq_model, vq_vars, exp = load_model_from_checkpoint(args.ckpt)
+    prior_model, prior_vars, pcfg = load_prior_checkpoint(args.prior)
+    if pcfg.source_experiment and pcfg.source_experiment != exp.id:
+        print(f"[WARN] prior was trained on '{pcfg.source_experiment}', "
+              f"decoding through '{exp.id}'")
+    mean, std = load_stats(args.data_dir)
+
+    motions = sample_motion(
+        vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
+        n_samples=args.num, n_positions=args.positions,
+        temperature=args.temperature, top_k=args.top_k, seed=args.seed)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for i, m in enumerate(motions):
+        path = out_dir / (f"gen_{exp.id}_N{args.positions}"
+                          f"_T{args.temperature:g}_seed{args.seed}_idx{i}.npy")
+        np.save(path, m)
+        print(f"[INFO] sample {i}: {m.shape[0]} frames "
+              f"({m.shape[0] / args.fps:.1f}s @ {args.fps}fps) -> {path}")
+        if args.render:
+            from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, render_motion
+            chain = load_g1_chain(None)
+            scene = G1ReplayScene(chain)
+            scene.load(m, args.fps, args.fps)
+            traj = scene.rollout()
+            gif = str(path.with_suffix(".gif"))
+            render_motion(chain, np.asarray(traj), gif, fps=min(args.fps, 25))
+            print(f"[INFO] rendered {gif}")
+
+
+if __name__ == "__main__":
+    main()
