@@ -72,11 +72,15 @@ def extract_code_grids(
     for seq in sequences:
         seq = np.asarray(seq, np.float32)
         starts = range(0, seq.shape[0] - W + 1, stride)
-        wins = [seq[s:s + W] for s in starts][:max_len]
-        if not wins:
-            continue
-        per_seq_windows.append(np.stack(wins))
-        counts.append(len(wins))
+        wins = [seq[s:s + W] for s in starts]
+        # long takes become several max_len grids instead of being truncated
+        # (a tail shorter than 2 positions has no next-token signal)
+        for off in range(0, len(wins), max_len):
+            chunk_wins = wins[off:off + max_len]
+            if len(chunk_wins) < 2:
+                continue
+            per_seq_windows.append(np.stack(chunk_wins))
+            counts.append(len(chunk_wins))
     if not per_seq_windows:
         raise ValueError(f"no sequence yields a full window (W={W})")
 
