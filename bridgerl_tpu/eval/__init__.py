@@ -1,3 +1,4 @@
+from .generation import compare_to_data, format_report, motion_stats
 from .latex import METRICS, generate_latex, get_final_metrics, load_data
 from .latent import analyze_checkpoint, get_latent_vectors, load_paired_data_by_action
 from .parity import Criterion, evaluate_parity, render_parity_md

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--render", action="store_true",
                    help="also render each sample to a skeleton GIF")
     p.add_argument("--fps", type=int, default=20, help="assumed motion fps")
+    p.add_argument("--eval", action="store_true",
+                   help="report motion statistics vs the training data")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -57,6 +59,13 @@ def main():
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
         temperature=args.temperature, top_k=args.top_k, seed=args.seed)
+
+    if args.eval:
+        from bridgerl_tpu.eval.generation import compare_to_data, format_report
+        full_raw = Path(args.data_dir) / "g1_train_full_raw.npy"
+        ref = (list(np.load(full_raw, allow_pickle=True)) if full_raw.exists()
+               else list(np.load(Path(args.data_dir) / "g1_train.npy")))
+        print(format_report(compare_to_data(motions, ref)))
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

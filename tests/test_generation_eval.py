@@ -1,0 +1,51 @@
+"""Generation-statistics tests: the no-reference quality report must separate
+data-like motion from the two known failure modes (frozen mean-prediction and
+out-of-distribution noise)."""
+
+import numpy as np
+
+from bridgerl_tpu.eval.generation import compare_to_data, format_report, motion_stats
+
+
+def _walkish(rng, t=200, d=29, amp=1.0):
+    ph = rng.uniform(0, np.pi, d)
+    f = rng.uniform(0.05, 0.2, d)
+    return (amp * np.sin(np.arange(t)[:, None] * f + ph)).astype(np.float32)
+
+
+def test_matching_distribution_scores_near_one():
+    rng = np.random.default_rng(0)
+    data = [_walkish(rng) for _ in range(8)]
+    gen = [_walkish(rng) for _ in range(4)]
+    rep = compare_to_data(gen, data)
+    assert 0.8 < rep["vel_ratio"] < 1.25
+    assert 0.8 < rep["jerk_ratio"] < 1.25
+    assert rep["range_coverage_mean"] > 0.8
+    assert rep["static_frac_gen"] < 0.05
+    assert "vel RMS" in format_report(rep)
+
+
+def test_frozen_prior_is_flagged():
+    """Mean-prediction collapse: near-zero velocity, high static fraction,
+    tiny range coverage."""
+    rng = np.random.default_rng(1)
+    data = [_walkish(rng) for _ in range(8)]
+    gen = [np.zeros((100, 29), np.float32) for _ in range(3)]
+    rep = compare_to_data(gen, data)
+    assert rep["vel_ratio"] < 0.01
+    assert rep["static_frac_gen"] > 0.95
+    assert rep["range_coverage_mean"] < 0.1
+
+
+def test_noise_overshoot_is_flagged():
+    rng = np.random.default_rng(2)
+    data = [_walkish(rng) for _ in range(8)]
+    gen = [rng.normal(scale=5.0, size=(100, 29)).astype(np.float32)
+           for _ in range(3)]
+    rep = compare_to_data(gen, data)
+    assert rep["vel_ratio"] > 3.0 and rep["jerk_ratio"] > 3.0
+
+
+def test_short_sequences_do_not_crash():
+    m = motion_stats([np.ones((3, 4), np.float32)])
+    assert m["jerk_rms"] == 0.0 and np.isfinite(m["vel_rms"])
