@@ -247,15 +247,21 @@ class FSQ(nn.Module):
             offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
             shift = jnp.tan(offset / half)
             zb = jnp.tanh(zp + shift) * half - offset
-            z_hard = zb + jax.lax.stop_gradient(jnp.round(zb) - zb)
+            hard_vals = jnp.round(zb)
+            z_hard = zb + jax.lax.stop_gradient(hard_vals - zb)
         else:
-            z_hard = zp + jax.lax.stop_gradient(jnp.round(zp) - zp)
+            hard_vals = jnp.round(zp)
+            z_hard = zp + jax.lax.stop_gradient(hard_vals - zp)
         out = nn.Dense(self.input_dim, kernel_init=ki, name="project_out")(z_hard).astype(in_dtype)
 
         basis = jnp.asarray(
             [math.prod(self.levels[:i]) for i in range(fsq_dim)], dtype=jnp.float32
         )  # [1, L0, L0*L1, ...] (vqvae.py:122)
-        indices = jnp.sum(z_hard * basis, axis=-1).astype(jnp.int32)  # (B, T)
+        # indices from the exact round() — the STE value z_hard is only
+        # integral to ~ulp, and the int32 cast truncates: a half-ulp slip
+        # below an integer would shift the code (decode relies on exactness)
+        indices = jnp.sum(jax.lax.stop_gradient(hard_vals) * basis,
+                          axis=-1).astype(jnp.int32)  # (B, T)
         self.sow("intermediates", "codes", indices)
         uniq = unique_count(indices)
         codebook_size = float(math.prod(self.levels))
