@@ -58,6 +58,8 @@ class PriorConfig:
     dropout: float = 0.1
     max_len: int = 256                  # max positions (windows) per sequence
     source_experiment: str = ""         # provenance: the VQ-VAE experiment id
+    # class-conditioned generation: action names, empty = unconditioned
+    class_names: Tuple[str, ...] = ()
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -67,6 +69,7 @@ class PriorConfig:
         d = json.loads(s)
         d["streams"] = tuple(d["streams"])
         d["vocab_sizes"] = tuple(d["vocab_sizes"])
+        d["class_names"] = tuple(d.get("class_names", ()))
         return PriorConfig(**d)
 
 
@@ -93,7 +96,8 @@ class MotionTokenPrior(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, grid: jax.Array, train: bool = False):
+    def __call__(self, grid: jax.Array, train: bool = False,
+                 class_ids: Optional[jax.Array] = None):
         c = self.cfg
         B, N, S = grid.shape
         assert S == len(c.vocab_sizes), (
@@ -111,6 +115,14 @@ class MotionTokenPrior(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (c.max_len, c.d_model))
         h = h + pos[:N].astype(h.dtype)
+        if c.class_names:
+            # style-token conditioning: one learned vector per action class,
+            # added to every position (the whole take shares its class)
+            if class_ids is None:
+                raise ValueError("class-conditioned prior needs class_ids")
+            cls = nn.Embed(len(c.class_names), c.d_model, dtype=self.dtype,
+                           name="class_embed")(class_ids)
+            h = h + cls[:, None, :]
         mask = nn.make_causal_mask(jnp.zeros((B, N)))
         h = TransformerStack(c.n_layers, c.d_model, c.n_heads, c.ff_dim,
                              dropout=c.dropout, dtype=self.dtype,
@@ -138,13 +150,15 @@ def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
 
 def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
                  batch: int, length: int, temperature: float = 1.0,
-                 top_k: Optional[int] = None) -> jax.Array:
+                 top_k: Optional[int] = None,
+                 class_ids: Optional[jax.Array] = None) -> jax.Array:
     """Autoregressively sample (batch, length, S) normalized code grids.
 
     One jitted program: `lax.fori_loop` over positions, each step running the
     full-length causal model on the grid so far (static shapes; the causal
     mask guarantees step t only reads positions < t, so the not-yet-filled
-    suffix can hold anything).
+    suffix can hold anything). ``class_ids`` (batch,) selects the action for
+    a class-conditioned prior.
     """
     S = len(model.cfg.vocab_sizes)
     if length > model.cfg.max_len:
@@ -152,7 +166,8 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
 
     def step(t, carry):
         grid, rng = carry
-        logits = model.apply(variables, grid, train=False)
+        logits = model.apply(variables, grid, train=False,
+                             class_ids=class_ids)
         rng, *keys = jax.random.split(rng, S + 1)
         for s in range(S):
             lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]

@@ -63,13 +63,16 @@ def extract_code_grids(
 
     Windows are taken on the pure stride grid (start + W <= T) so positions
     advance uniformly in time — the property the prior models. Returns
-    (grids (n_seq, max_len, S), mask (n_seq, max_len), PriorConfig).
+    (grids (n_grids, max_len, S), mask (n_grids, max_len), PriorConfig,
+    seq_ids (n_grids,) — the input-sequence index each grid came from, so
+    callers can attach per-sequence labels for a conditioned prior).
     """
     W = exp.model.window_size
     sizes = sorted(code_vocab_sizes(exp.model).items())
     per_seq_windows: List[np.ndarray] = []
     counts: List[int] = []
-    for seq in sequences:
+    seq_ids: List[int] = []
+    for si, seq in enumerate(sequences):
         seq = np.asarray(seq, np.float32)
         starts = range(0, seq.shape[0] - W + 1, stride)
         wins = [seq[s:s + W] for s in starts]
@@ -81,6 +84,7 @@ def extract_code_grids(
                 continue
             per_seq_windows.append(np.stack(chunk_wins))
             counts.append(len(chunk_wins))
+            seq_ids.append(si)
     if not per_seq_windows:
         raise ValueError(f"no sequence yields a full window (W={W})")
 
@@ -123,7 +127,7 @@ def extract_code_grids(
         grids[i, :n] = flat[off:off + n]
         mask[i, :n] = 1.0
         off += n
-    return grids, mask, pcfg
+    return grids, mask, pcfg, np.asarray(seq_ids, np.int32)
 
 
 # ----------------------------------------------------------------- training
@@ -143,10 +147,18 @@ class PriorTrainConfig:
 def train_prior(
     grids: np.ndarray, mask: np.ndarray, pcfg: PriorConfig,
     tcfg: PriorTrainConfig, verbose: bool = True,
+    class_ids: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, List[float]]]:
-    """Returns (best variables, history). Whole epoch = one jitted scan."""
+    """Returns (best variables, history). Whole epoch = one jitted scan.
+
+    ``class_ids`` (n_grids,) int32 per-grid action labels are required iff
+    pcfg.class_names is non-empty (conditioned prior).
+    """
     import optax
 
+    if bool(pcfg.class_names) != (class_ids is not None):
+        raise ValueError("class_ids must be given exactly when "
+                         "pcfg.class_names is set")
     n = grids.shape[0]
     rng = np.random.default_rng(tcfg.seed)
     perm = rng.permutation(n)
@@ -160,21 +172,29 @@ def train_prior(
     dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
     model = MotionTokenPrior(pcfg, dtype=dtype)
     key = jax.random.key(tcfg.seed)
+    init_cls = (jnp.zeros((2,), jnp.int32) if pcfg.class_names else None)
     variables = model.init({"params": key, "dropout": key},
                            jnp.zeros((2, grids.shape[1], grids.shape[2]),
-                                     jnp.int32), train=False)
+                                     jnp.int32), train=False,
+                           class_ids=init_cls)
     params = variables["params"]
     tx = optax.adamw(tcfg.lr, weight_decay=tcfg.weight_decay)
     opt_state = tx.init(params)
 
     g_dev = jnp.asarray(grids)
     m_dev = jnp.asarray(mask)
+    c_dev = (jnp.asarray(class_ids, jnp.int32) if class_ids is not None
+             else jnp.zeros((n,), jnp.int32))
+    use_cls = bool(pcfg.class_names)
     gv = jnp.asarray(grids[val_idx]) if n_val else None
     mv = jnp.asarray(mask[val_idx]) if n_val else None
+    cv = (jnp.asarray(np.asarray(class_ids)[val_idx], jnp.int32)
+          if (n_val and class_ids is not None) else None)
 
-    def loss_fn(p, g, m, drop_key):
+    def loss_fn(p, g, m, c, drop_key):
         logits = model.apply({"params": p}, g, train=True,
-                             rngs={"dropout": drop_key})
+                             rngs={"dropout": drop_key},
+                             class_ids=c if use_cls else None)
         return prior_loss(logits, g, m)
 
     @jax.jit
@@ -183,7 +203,7 @@ def train_prior(
             p, o = carry
             idx, k = args
             loss, grads = jax.value_and_grad(loss_fn)(
-                p, g_dev[idx], m_dev[idx], k)
+                p, g_dev[idx], m_dev[idx], c_dev[idx], k)
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
 
@@ -194,7 +214,8 @@ def train_prior(
 
     @jax.jit
     def eval_fn(params):
-        logits = model.apply({"params": params}, gv, train=False)
+        logits = model.apply({"params": params}, gv, train=False,
+                             class_ids=cv if use_cls else None)
         return prior_loss(logits, gv, mv)
 
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
@@ -258,7 +279,8 @@ def load_prior_checkpoint(path: str):
     template = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(0)},
         jnp.zeros((1, pcfg.max_len, len(pcfg.vocab_sizes)), jnp.int32),
-        train=False)
+        train=False,
+        class_ids=(jnp.zeros((1,), jnp.int32) if pcfg.class_names else None))
     variables = flax.serialization.from_state_dict(template, payload["variables"])
     return model, variables, pcfg
 
@@ -289,16 +311,20 @@ def sample_motion(
     mean: np.ndarray, std: np.ndarray, *, n_samples: int = 4,
     n_positions: int = 32, temperature: float = 1.0,
     top_k: Optional[int] = None, seed: int = 0,
+    class_ids: Optional[np.ndarray] = None,
 ) -> List[np.ndarray]:
     """Sample new token grids and decode them to raw robot motions.
 
     Returns a list of (T, 29) float32 raw joint trajectories,
-    T = stride*(n_positions-1) + W.
+    T = stride*(n_positions-1) + W. ``class_ids`` (n_samples,) selects the
+    action per sample for a conditioned prior.
     """
     pcfg = prior_model.cfg
     grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
                         n_samples, n_positions, temperature=temperature,
-                        top_k=top_k)
+                        top_k=top_k,
+                        class_ids=(jnp.asarray(class_ids, jnp.int32)
+                                   if class_ids is not None else None))
     codes = grid_to_codes(pcfg, grid)                      # normalized
     codes = denormalize_codes(exp.model, codes)            # raw index space
     z_q = decode_codes(exp.model, vq_variables, codes)     # (B*N, T', hidden)

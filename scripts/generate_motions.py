@@ -36,6 +36,9 @@ def main():
     p.add_argument("--fps", type=int, default=20, help="assumed motion fps")
     p.add_argument("--eval", action="store_true",
                    help="report motion statistics vs the training data")
+    p.add_argument("--action", default=None,
+                   help="action class for a conditioned prior (see the "
+                        "checkpoint's class_names); all samples use it")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -55,10 +58,23 @@ def main():
               f"decoding through '{exp.id}'")
     mean, std = load_stats(args.data_dir)
 
+    class_ids = None
+    if pcfg.class_names:
+        if args.action is None:
+            raise SystemExit(f"--action required; one of {pcfg.class_names}")
+        if args.action not in pcfg.class_names:
+            raise SystemExit(f"unknown action {args.action!r}; "
+                             f"choose from {pcfg.class_names}")
+        class_ids = np.full(args.num, pcfg.class_names.index(args.action),
+                            np.int32)
+    elif args.action is not None:
+        raise SystemExit("--action given but the prior is unconditioned")
+
     motions = sample_motion(
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
-        temperature=args.temperature, top_k=args.top_k, seed=args.seed)
+        temperature=args.temperature, top_k=args.top_k, seed=args.seed,
+        class_ids=class_ids)
 
     if args.eval:
         from bridgerl_tpu.eval.generation import compare_to_data, format_report
@@ -70,7 +86,8 @@ def main():
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, m in enumerate(motions):
-        path = out_dir / (f"gen_{exp.id}_N{args.positions}"
+        tag = f"_{args.action}" if args.action else ""
+        path = out_dir / (f"gen_{exp.id}{tag}_N{args.positions}"
                           f"_T{args.temperature:g}_seed{args.seed}_idx{i}.npy")
         np.save(path, m)
         print(f"[INFO] sample {i}: {m.shape[0]} frames "

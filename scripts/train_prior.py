@@ -44,6 +44,9 @@ def main():
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--prng", default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
+    p.add_argument("--labeled_dir", default=None,
+                   help="dir of {action}_{i}.npz files (joint_pos key) -> "
+                        "class-conditioned prior (e.g. data/raw_actions)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -68,17 +71,35 @@ def main():
     stride = args.stride or max(1, W // 2)
     mean, std = load_stats(args.data_dir)
 
-    full_raw = Path(args.data_dir) / "g1_train_full_raw.npy"
-    if full_raw.exists():
-        seqs = list(np.load(full_raw, allow_pickle=True))
+    labels = None
+    if args.labeled_dir:
+        # {action}_{i}.npz convention, as in the latent-analysis fixtures
+        files = sorted(Path(args.labeled_dir).glob("*.npz"))
+        seqs, labels = [], []
+        for f in files:
+            seqs.append(np.load(f)["joint_pos"].reshape(
+                -1, exp.model.robot_input_dim))
+            labels.append(f.stem.rsplit("_", 1)[0])
+        print(f"[INFO] {len(seqs)} labeled sequences, "
+              f"actions: {sorted(set(labels))}")
     else:
-        # sliced-only dataset: treat each training window as a short sequence
-        print("[WARN] no g1_train_full_raw.npy; falling back to sliced windows")
-        seqs = list(np.load(Path(args.data_dir) / "g1_train.npy"))
+        full_raw = Path(args.data_dir) / "g1_train_full_raw.npy"
+        if full_raw.exists():
+            seqs = list(np.load(full_raw, allow_pickle=True))
+        else:
+            # sliced-only dataset: treat each window as a short sequence
+            print("[WARN] no g1_train_full_raw.npy; falling back to sliced windows")
+            seqs = list(np.load(Path(args.data_dir) / "g1_train.npy"))
     print(f"[INFO] tokenizing {len(seqs)} sequences (W={W}, stride={stride})")
-    grids, mask, pcfg = extract_code_grids(
+    grids, mask, pcfg, seq_ids = extract_code_grids(
         model, variables, exp, seqs, mean, std, stride,
         max_len=args.max_len)
+    class_ids = None
+    if labels is not None:
+        names = tuple(sorted(set(labels)))
+        class_ids = np.asarray([names.index(labels[i]) for i in seq_ids],
+                               np.int32)
+        pcfg = dataclasses.replace(pcfg, class_names=names)
     pcfg = dataclasses.replace(
         pcfg, d_model=args.d_model, n_layers=args.n_layers,
         n_heads=args.n_heads, ff_dim=args.ff_dim, dropout=args.dropout)
@@ -91,7 +112,8 @@ def main():
         weight_decay=args.weight_decay, patience=args.patience,
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32")
-    best_vars, history = train_prior(grids, mask, pcfg, tcfg)
+    best_vars, history = train_prior(grids, mask, pcfg, tcfg,
+                                     class_ids=class_ids)
     save_prior_checkpoint(args.out, best_vars, pcfg, history=history)
     hist_path = str(Path(args.out).with_suffix(".history.json"))
     with open(hist_path, "w") as f:

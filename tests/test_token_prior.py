@@ -140,11 +140,12 @@ def test_extract_code_grids(tiny_vq):
     rng = np.random.default_rng(1)
     seqs = [rng.normal(size=(t, 29)).astype(np.float32) for t in (40, 25, 9)]
     mean, std = np.zeros(29, np.float32), np.ones(29, np.float32)
-    grids, mask, pcfg = extract_code_grids(
+    grids, mask, pcfg, seq_ids = extract_code_grids(
         model, variables, exp, seqs, mean, std, stride=5, max_len=8)
     # the 9-frame sequence yields no window; 40 -> 7 windows, 25 -> 4
     assert grids.shape == (2, 8, 5 * 10)  # 5 streams x T'=10 tokens each
     np.testing.assert_array_equal(mask.sum(1), [7, 4])
+    np.testing.assert_array_equal(seq_ids, [0, 1])
     assert pcfg.tokens_per_stream == 10 and pcfg.stride == 5
     assert len(pcfg.streams) == 5 and pcfg.streams[0] == "quantizer/fsq"
     # every token is inside its declared vocab
@@ -177,6 +178,59 @@ def test_sample_motion_end_to_end(tiny_vq):
     for m in motions:
         assert m.shape == (5 * 3 + 10, 29)
         assert np.isfinite(m).all()
+
+
+def test_conditioned_prior_learns_per_class_patterns():
+    """Two classes, two disjoint constant token patterns: a conditioned prior
+    must sample each class's own pattern."""
+    import dataclasses
+
+    pcfg = dataclasses.replace(TINY, class_names=("march", "wave"))
+    grids = np.zeros((16, 8, 2), np.int32)
+    grids[:8, :, 0], grids[:8, :, 1] = 6, 4     # class 0 pattern
+    grids[8:, :, 0], grids[8:, :, 1] = 1, 0     # class 1 pattern
+    class_ids = np.repeat(np.asarray([0, 1], np.int32), 8)
+    mask = np.ones((16, 8), np.float32)
+    tcfg = PriorTrainConfig(epochs=60, batch_size=8, lr=3e-3, patience=-1,
+                            val_fraction=0.125, seed=1)
+    variables, history = train_prior(grids, mask, pcfg, tcfg, verbose=False,
+                                     class_ids=class_ids)
+    model = MotionTokenPrior(pcfg)
+    g0 = np.asarray(sample_grids(model, variables, jax.random.key(0), 4, 6,
+                                 temperature=0.1,
+                                 class_ids=jnp.zeros(4, jnp.int32)))
+    g1 = np.asarray(sample_grids(model, variables, jax.random.key(0), 4, 6,
+                                 temperature=0.1,
+                                 class_ids=jnp.ones(4, jnp.int32)))
+    assert (g0[..., 0] == 6).mean() > 0.9 and (g0[..., 1] == 4).mean() > 0.9
+    assert (g1[..., 0] == 1).mean() > 0.9 and (g1[..., 1] == 0).mean() > 0.9
+
+
+def test_conditioned_prior_requires_class_ids():
+    import dataclasses
+
+    pcfg = dataclasses.replace(TINY, class_names=("a", "b"))
+    grids = np.zeros((4, 8, 2), np.int32)
+    mask = np.ones((4, 8), np.float32)
+    with pytest.raises(ValueError, match="class_ids"):
+        train_prior(grids, mask, pcfg, PriorTrainConfig(epochs=1),
+                    verbose=False)
+
+
+def test_conditioned_checkpoint_roundtrip(tmp_path):
+    import dataclasses
+
+    pcfg = dataclasses.replace(TINY, class_names=("walk", "run"))
+    model = MotionTokenPrior(pcfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+        jnp.zeros((1, 8, 2), jnp.int32), train=False,
+        class_ids=jnp.zeros((1,), jnp.int32))
+    path = str(tmp_path / "cond.ckpt")
+    save_prior_checkpoint(path, variables, pcfg)
+    _, v2, pcfg2 = load_prior_checkpoint(path)
+    assert pcfg2.class_names == ("walk", "run")
+    assert "class_embed" in v2["params"]
 
 
 def test_prior_checkpoint_roundtrip(tmp_path):
