@@ -45,6 +45,14 @@ class ModelConfig:
     # compile the transformer layer once and lax.scan it over stacked params
     # (compile-time saver on remote-compile runtimes; changes the param tree)
     scan_layers: bool = False
+    # Opt-in multi-token transformer latent: pool the window into k tokens
+    # (chunked mean over T/k frames each) instead of the reference's single
+    # mean-pooled token (vqvae.py:458, 488). The W64 single-token bottleneck
+    # is the measured ceiling on decodable dynamics (data-codes roundtrip
+    # recovers only ~55% of the data's velocity RMS, docs/ROUND3.md); k>1
+    # raises the latent rate at identical parameter count. 1 = reference.
+    # Requires window_size % tf_tokens == 0.
+    tf_tokens: int = 1
     # fused Pallas attention core (scores+mask+softmax+dropout+PV in VMEM,
     # flash-style custom VJP; ops/pallas/attention.py). Same param tree —
     # only the attention_fn changes. Off-TPU (or with dropout active off-TPU)
@@ -106,6 +114,11 @@ class ModelConfig:
             raise ValueError(f"Unknown arch {self.arch!r}; expected one of {ARCHS}")
         if self.method not in METHODS:
             raise ValueError(f"Unknown quantization method {self.method!r}; expected one of {METHODS}")
+        if self.tf_tokens < 1 or (self.arch == "transformer"
+                                  and self.window_size % self.tf_tokens):
+            raise ValueError(
+                f"tf_tokens={self.tf_tokens} must be >=1 and divide "
+                f"window_size={self.window_size}")
 
 
 @dataclass(frozen=True)
@@ -294,9 +307,16 @@ def make_experiment(
     # Non-canonical windows therefore get a window-qualified id.
     canonical = _CANONICAL_WINDOW.get(arch, 64)
     default_id = f"{arch}_{method}" + ("" if window == canonical else f"_W{window}")
+    default_name = f"Exp_{arch}_W{window}"
+    if getattr(model, "tf_tokens", 1) != 1:
+        # non-reference latent rate: qualify BOTH id and name so K>1 runs
+        # can never clobber the reference-semantics artifacts (same hazard
+        # class as the window qualification above)
+        default_id += f"_K{model.tf_tokens}"
+        default_name += f"_K{model.tf_tokens}"
     return ExperimentConfig(
         id=exp_id or default_id,
-        name=name or f"Exp_{arch}_W{window}",
+        name=name or default_name,
         model=model,
         train=train,
     )

@@ -50,7 +50,8 @@ def _make_encoder(cfg: ModelConfig, name: str) -> nn.Module:
             num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dropout=cfg.dropout,
             dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
             fused_attention=cfg.fused_attention, torch_init=ti,
-            cheap_dropout=getattr(cfg, "cheap_dropout", False), name=name)
+            cheap_dropout=getattr(cfg, "cheap_dropout", False),
+            tokens=getattr(cfg, "tf_tokens", 1), name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleEncoder(hidden_dim=cfg.hidden_dim,
                                    num_res_layers=cfg.num_res_layers, dtype=dt,
@@ -70,7 +71,8 @@ def _make_decoder(cfg: ModelConfig, name: str) -> nn.Module:
             num_layers=cfg.n_tf_layers, ff_dim=cfg.ff_dim, dropout=cfg.dropout,
             dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
             fused_attention=cfg.fused_attention, torch_init=ti,
-            cheap_dropout=getattr(cfg, "cheap_dropout", False), name=name)
+            cheap_dropout=getattr(cfg, "cheap_dropout", False),
+            tokens=getattr(cfg, "tf_tokens", 1), name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleDecoder(output_dim=cfg.robot_input_dim,
                                    hidden_dim=cfg.hidden_dim,

@@ -379,7 +379,11 @@ class TransformerStack(nn.Module):
 class TransformerMotionEncoder(nn.Module):
     """Linear -> PE -> 4x transformer -> mean-pool to ONE token -> Linear
     (vqvae.py:429-463). Output (B, 1, hidden_dim): the whole window becomes a
-    single latent token."""
+    single latent token.
+
+    tokens=k (opt-in, config.tf_tokens) pools to k tokens via chunked means
+    over T/k frames each — raises the latent rate past the reference's
+    single-token bottleneck at identical parameter count."""
 
     hidden_dim: int
     d_model: int = 256
@@ -394,6 +398,7 @@ class TransformerMotionEncoder(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    tokens: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -423,13 +428,20 @@ class TransformerMotionEncoder(nn.Module):
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
-        h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
-        return nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="output_proj")(h)  # (B, 1, hidden)
+        if self.tokens == 1:
+            h = jnp.mean(h, axis=1, keepdims=True)  # (B, 1, d_model)
+        else:
+            h = jnp.mean(h.reshape(B, self.tokens, T // self.tokens,
+                                   self.d_model), axis=2)  # (B, k, d_model)
+        return nn.Dense(self.hidden_dim, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="output_proj")(h)  # (B, k, hidden)
 
 
 class TransformerMotionDecoder(nn.Module):
     """Linear -> repeat token seq_len times -> PE -> 4x transformer -> Linear
-    (vqvae.py:465-499). Non-autoregressive one-shot generation."""
+    (vqvae.py:465-499). Non-autoregressive one-shot generation.
+
+    tokens=k mirrors the encoder's multi-token latent: each of the k tokens
+    is nearest-upsampled over its own T/k-frame span before the stack."""
 
     output_dim: int
     hidden_dim: int
@@ -445,13 +457,17 @@ class TransformerMotionDecoder(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    tokens: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        # x: (B, 1, hidden)
+        # x: (B, k, hidden)
         B, T = x.shape[0], self.seq_len
-        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="input_proj")(x)  # (B, 1, d_model)
-        h = jnp.broadcast_to(h, (B, T, self.d_model))
+        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=dense_kinit(self.torch_init), name="input_proj")(x)  # (B, k, d_model)
+        if self.tokens == 1:
+            h = jnp.broadcast_to(h, (B, T, self.d_model))
+        else:
+            h = jnp.repeat(h, T // self.tokens, axis=1)  # (B, T, d_model)
         h = h + sinusoidal_pe(T, self.d_model, h.dtype)
         P = self.attn_packing if self.attn_packing > 1 and B % self.attn_packing == 0 else 1
         mask = None

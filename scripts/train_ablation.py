@@ -33,6 +33,10 @@ def main():
     p.add_argument("--data_dir", type=str, default="data/processed")
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--hidden_dim", type=int, default=64)
+    p.add_argument("--tf_tokens", type=int, default=1,
+                   help="Transformer latent tokens per window (chunked mean "
+                        "pools; 1 = reference single-token bottleneck). Must "
+                        "divide --window.")
     p.add_argument("--multiseed", action="store_true",
                    help="vmap all seeds into one XLA program")
     p.add_argument("--data_parallel", "--force_multi_gpu", action="store_true",
@@ -155,6 +159,7 @@ def main():
         init_from=args.init_from,
         save_every=args.save_every,
         learning_rate=args.lr, hidden_dim=args.hidden_dim, lambda_fk=args.lambda_fk,
+        tf_tokens=args.tf_tokens,
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention,
         cheap_dropout=args.cheap_dropout,
