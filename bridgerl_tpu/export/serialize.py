@@ -211,6 +211,92 @@ def build_serving_artifact(
     return meta
 
 
+GENERATOR_TAG = "bridgerl-generator-v1"
+
+
+def export_generator_artifact(
+    vq_ckpt: str,
+    prior_ckpt: str,
+    out_path: str,
+    data_dir: str = "data/processed",
+    *,
+    n_positions: int = 32,
+    n_samples: int = 4,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> Dict[str, Any]:
+    """Freeze prior + decoder + overlap-add into ONE generative program.
+
+    The artifact's functions map a raw threefry key (2,) uint32 to
+    (n_samples, stride*(N-1)+W, D) novel raw motion — prior sampling, code
+    decode, robot decoder, de-normalization and stitching all inside the
+    frozen StableHLO. Unconditioned priors export a single ``generate``;
+    class-conditioned priors export one ``generate_{action}`` per class.
+    Loading needs ONLY plain jax (ServingModule), like the retargeting
+    artifact.
+    """
+    from ..train.prior import load_prior_checkpoint, make_generation_fn
+    from .motion_export import load_model_from_checkpoint
+
+    model, variables, exp = load_model_from_checkpoint(vq_ckpt)
+    prior_model, prior_vars, pcfg = load_prior_checkpoint(prior_ckpt)
+    stats = _load_stats_pair(data_dir, "mean.npy", "std.npy",
+                             exp.model.robot_input_dim)
+    gen = make_generation_fn(model, variables, exp, prior_model, prior_vars,
+                             stats[0], stats[1], n_positions=n_positions,
+                             n_samples=n_samples, temperature=temperature,
+                             top_k=top_k)
+
+    def keyed(class_ids):
+        def fn(key_data):
+            key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+            return gen(key, class_ids)
+        return fn
+
+    fns: Dict[str, Callable] = {}
+    if pcfg.class_names:
+        for ci, name in enumerate(pcfg.class_names):
+            fns[f"generate_{name}"] = keyed(
+                jnp.full((n_samples,), ci, jnp.int32))
+    else:
+        fns["generate"] = keyed(None)
+
+    T = pcfg.stride * (n_positions - 1) + pcfg.window
+    meta: Dict[str, Any] = {
+        "format": GENERATOR_TAG,
+        "config_json": exp.to_json(),
+        "prior_config_json": pcfg.to_json(),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "source_checkpoint": os.path.abspath(vq_ckpt),
+        "source_prior": os.path.abspath(prior_ckpt),
+        "n_samples": n_samples,
+        "n_positions": n_positions,
+        "temperature": temperature,
+        "top_k": top_k,
+        "functions": {},
+    }
+    blobs: Dict[str, bytes] = {}
+    arg = jax.ShapeDtypeStruct((2,), jnp.uint32)   # threefry key data
+    for name, fn in fns.items():
+        exported = jax.export.export(jax.jit(fn), platforms=tuple(platforms))(arg)
+        blobs[name] = exported.serialize()
+        meta["functions"][name] = {
+            "input": [2], "dtype": "uint32", "kind": "generator",
+            "output": [n_samples, T, exp.model.robot_input_dim],
+        }
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    tmp = out_path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=2))
+        for name, blob in blobs.items():
+            zf.writestr(f"{name}.bin", blob)
+    os.replace(tmp, out_path)
+    return meta
+
+
 @dataclass
 class ServingModule:
     """A loaded serving artifact: metadata + jitted callables.
@@ -241,15 +327,29 @@ class ServingModule:
         return self.fns["decode_codes"](
             {k: jnp.asarray(v, jnp.int32) for k, v in codes.items()})
 
+    def generate(self, seed: int, action: Optional[str] = None) -> jax.Array:
+        """Generator artifacts only: sample novel raw motion from a seed."""
+        name = f"generate_{action}" if action else "generate"
+        if name not in self.fns:
+            raise KeyError(
+                f"{name!r} not in this artifact; functions: "
+                f"{sorted(self.fns)}")
+        kd = jax.random.key_data(jax.random.key(seed, impl="threefry2x32"))
+        return self.fns[name](jnp.asarray(kd, jnp.uint32))
+
     @property
     def window_size(self) -> int:
-        return int(self.meta["functions"]["retarget"]["input"][1])
+        fn = self.meta["functions"].get("retarget")
+        if fn is not None:
+            return int(fn["input"][1])
+        # generator artifact: the window lives in the prior config
+        return int(json.loads(self.meta["prior_config_json"])["window"])
 
 
 def load_serving_artifact(path: str) -> ServingModule:
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("meta.json"))
-        if meta.get("format") != FORMAT_TAG:
+        if meta.get("format") not in (FORMAT_TAG, GENERATOR_TAG):
             raise ValueError(f"{path}: unknown artifact format {meta.get('format')!r}")
         fns: Dict[str, Callable] = {}
         for name in meta["functions"]:

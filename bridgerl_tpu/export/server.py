@@ -62,6 +62,14 @@ class ServingApp:
         sig = self.module.meta["functions"].get(fn_name)
         if sig is None:
             raise KeyError(fn_name)
+        if sig.get("kind") == "generator":
+            x = np.asarray(x)
+            if x.shape != (2,):
+                raise ValueError(
+                    f"{fn_name} expects a (2,) uint32 threefry key "
+                    f"(or JSON {{\"seed\": N}}), got shape {x.shape}")
+            with self._lock:
+                return np.asarray(self.module.fns[fn_name](x.astype(np.uint32)))
         if isinstance(sig["input"], dict):
             x = self._check_codes(fn_name, sig, x)
             b = next(iter(x.values())).shape[0]
@@ -160,7 +168,15 @@ def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 8764,
                 ctype = (self.headers.get("Content-Type") or _OCTET).split(";")[0]
                 sig = app.module.meta["functions"][fn_name]
                 dict_input = isinstance(sig["input"], dict)
-                if ctype == _JSON:
+                generator = sig.get("kind") == "generator"
+                if ctype == _JSON and generator:
+                    body = json.loads(raw)
+                    if not isinstance(body, dict) or "seed" not in body:
+                        raise ValueError('JSON body must be {"seed": <int>}')
+                    import jax as _jax
+                    x = np.asarray(_jax.random.key_data(_jax.random.key(
+                        int(body["seed"]), impl="threefry2x32")), np.uint32)
+                elif ctype == _JSON:
                     body = json.loads(raw)
                     key = "codes" if dict_input else "windows"
                     if not isinstance(body, dict) or key not in body:

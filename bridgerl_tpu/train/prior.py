@@ -287,6 +287,54 @@ def load_prior_checkpoint(path: str):
 
 # ------------------------------------------------------------- generation
 
+def stitch_windows_jax(windows: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """In-graph overlap-add: (B, N, W, D) windows on the stride grid ->
+    (B, stride*(N-1)+W, D). Same averaging as `stitch_windows`, jittable
+    (N static -> unrolled dynamic_update_slice adds; counts precomputed)."""
+    B, N, W, D = windows.shape
+    T = stride * (N - 1) + W
+    acc = jnp.zeros((B, T, D), windows.dtype)
+    cnt = np.zeros((T, 1), np.float32)
+    for i in range(N):
+        s = i * stride
+        acc = acc.at[:, s:s + W].add(windows[:, i])
+        cnt[s:s + W] += 1.0
+    return acc / jnp.asarray(np.maximum(cnt, 1.0))
+
+
+def make_generation_fn(vq_model, vq_variables, exp, prior_model,
+                       prior_variables, mean, std, *, n_positions: int,
+                       n_samples: int = 1, temperature: float = 1.0,
+                       top_k: Optional[int] = None):
+    """One jittable program: PRNG key (+ optional class ids) -> raw motion.
+
+    Returns fn(key, class_ids?) -> (batch, stride*(N-1)+W, D) float32, where
+    batch = class_ids.shape[0] for a conditioned prior, else ``n_samples``.
+    Everything — prior sampling, code decode, decoder, de-normalization,
+    overlap-add — is one traced graph, so it freezes into a StableHLO
+    serving artifact (export/serialize.export_generator_artifact).
+    """
+    pcfg = prior_model.cfg
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    W, S = pcfg.window, pcfg.stride
+
+    def generate(key, class_ids=None):
+        batch = class_ids.shape[0] if class_ids is not None else n_samples
+        grid = sample_grids(prior_model, prior_variables, key, batch,
+                            n_positions, temperature=temperature, top_k=top_k,
+                            class_ids=class_ids)
+        codes = grid_to_codes(pcfg, grid)
+        codes = denormalize_codes(exp.model, codes)
+        z_q = decode_codes(exp.model, vq_variables, codes)
+        wins = vq_model.apply(vq_variables, z_q, method="decode_latent")
+        wins = wins.astype(jnp.float32) * std + mean
+        wins = wins.reshape(batch, n_positions, W, -1)
+        return stitch_windows_jax(wins, S)
+
+    return generate
+
+
 def stitch_windows(windows: np.ndarray, stride: int, *,
                    counts_floor: float = 1.0) -> np.ndarray:
     """Overlap-add average of consecutive windows placed at the stride grid.

@@ -28,15 +28,32 @@ def main():
                    help="comma-separated lowering targets")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and run a 2-window smoke batch")
+    p.add_argument("--prior", type=str, default=None,
+                   help="token-prior checkpoint: export a GENERATOR artifact "
+                        "(key -> novel motion) instead of the retargeter")
+    p.add_argument("--positions", type=int, default=32,
+                   help="generator: windows per sampled motion")
+    p.add_argument("--num", type=int, default=4,
+                   help="generator: motions per call")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=None)
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     from bridgerl_tpu.export import export_serving_artifact, load_serving_artifact
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
 
-    meta = export_serving_artifact(
-        args.ckpt, args.out, data_dir=args.data_dir,
-        platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()))
+    if args.prior:
+        from bridgerl_tpu.export.serialize import export_generator_artifact
+        meta = export_generator_artifact(
+            args.ckpt, args.prior, args.out, data_dir=args.data_dir,
+            n_positions=args.positions, n_samples=args.num,
+            temperature=args.temperature, top_k=args.top_k,
+            platforms=platforms)
+    else:
+        meta = export_serving_artifact(
+            args.ckpt, args.out, data_dir=args.data_dir, platforms=platforms)
     for name, sig in meta["functions"].items():
         print(f"  {name}: {sig['input']} -> {sig['output']}")
     print(f"wrote {args.out} (platforms={meta['platforms']})")
@@ -44,11 +61,18 @@ def main():
     if args.check:
         import numpy as np
         mod = load_serving_artifact(args.out)
-        W = mod.window_size
-        h_dim = mod.meta["functions"]["retarget"]["input"][2]
-        out = mod.retarget(np.zeros((2, W, h_dim), np.float32))
-        assert np.all(np.isfinite(np.asarray(out))), "non-finite serving output"
-        print(f"check ok: retarget (2, {W}, {h_dim}) -> {tuple(out.shape)}")
+        if args.prior:
+            name = sorted(mod.fns)[0]
+            action = name[len("generate_"):] if name != "generate" else None
+            out = np.asarray(mod.generate(0, action=action))
+            assert np.all(np.isfinite(out)), "non-finite generator output"
+            print(f"check ok: {name}(seed=0) -> {tuple(out.shape)}")
+        else:
+            W = mod.window_size
+            h_dim = mod.meta["functions"]["retarget"]["input"][2]
+            out = mod.retarget(np.zeros((2, W, h_dim), np.float32))
+            assert np.all(np.isfinite(np.asarray(out))), "non-finite serving output"
+            print(f"check ok: retarget (2, {W}, {h_dim}) -> {tuple(out.shape)}")
 
 
 if __name__ == "__main__":

@@ -427,6 +427,93 @@ def test_http_decode_codes_roundtrip(hybrid_artifact):
         srv.server_close()
 
 
+@pytest.fixture(scope="module")
+def generator_artifact(tmp_path_factory):
+    """Tiny conditioned prior + tiny VQ frozen into a generator artifact."""
+    import jax
+    import jax.numpy as jnp
+    from bridgerl_tpu.models import init_model
+    from bridgerl_tpu.models.token_prior import (
+        MotionTokenPrior, PriorConfig, flatten_vocab_sizes)
+    from bridgerl_tpu.ops import code_vocab_sizes
+    from bridgerl_tpu.train.checkpoint import save_checkpoint
+    from bridgerl_tpu.train.prior import save_prior_checkpoint
+    from bridgerl_tpu.export.serialize import export_generator_artifact
+
+    tmp = tmp_path_factory.mktemp("generator")
+    exp = make_experiment("resnet_no_down", "hybrid", window=10, hidden_dim=16,
+                          num_res_layers=1)
+    model, variables = init_model(exp.model, jax.random.key(0))
+    vq_ckpt = str(tmp / "vq.ckpt")
+    save_checkpoint(vq_ckpt, epoch=0, variables=variables, config=exp)
+
+    sizes = sorted(code_vocab_sizes(exp.model).items())
+    pcfg = PriorConfig(
+        streams=tuple(n for n, _ in sizes),
+        vocab_sizes=flatten_vocab_sizes(sizes, tokens_per_stream=10),
+        tokens_per_stream=10, window=10, stride=5,
+        d_model=16, n_heads=2, n_layers=1, ff_dim=32, max_len=8,
+        class_names=("walk", "jump"))
+    prior = MotionTokenPrior(pcfg)
+    pv = prior.init({"params": jax.random.key(1), "dropout": jax.random.key(1)},
+                    jnp.zeros((1, 8, len(pcfg.vocab_sizes)), jnp.int32),
+                    train=False, class_ids=jnp.zeros((1,), jnp.int32))
+    prior_ckpt = str(tmp / "prior.ckpt")
+    save_prior_checkpoint(prior_ckpt, pv, pcfg)
+
+    out = str(tmp / "generator.zip")
+    meta = export_generator_artifact(vq_ckpt, prior_ckpt, out,
+                                     data_dir=str(tmp / "nostats"),
+                                     n_positions=6, n_samples=2,
+                                     temperature=1.0)
+    return {"zip": out, "meta": meta}
+
+
+def test_generator_artifact(generator_artifact):
+    """One frozen program: threefry key -> novel raw motion; per-action
+    functions, deterministic per seed, action changes the sample."""
+    meta = generator_artifact["meta"]
+    assert set(meta["functions"]) == {"generate_walk", "generate_jump"}
+    mod = load_serving_artifact(generator_artifact["zip"])
+    m1 = np.asarray(mod.generate(7, action="walk"))
+    # T = stride*(N-1)+W = 5*5+10
+    assert m1.shape == (2, 35, 29) and np.isfinite(m1).all()
+    np.testing.assert_array_equal(
+        m1, np.asarray(mod.generate(7, action="walk")))
+    m2 = np.asarray(mod.generate(7, action="jump"))
+    assert not np.array_equal(m1, m2)
+    with pytest.raises(KeyError, match="generate_run"):
+        mod.generate(0, action="run")
+
+
+def test_http_generator_seed_json(generator_artifact):
+    """POST {'seed': N} -> npy motion; bad key shape -> 400."""
+    import io
+    import threading
+    from bridgerl_tpu.export.server import make_server
+
+    srv = make_server(generator_artifact["zip"], port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        status, body, _ = _post(srv, "/v1/generate_walk",
+                                json.dumps({"seed": 7}).encode(),
+                                "application/json")
+        assert status == 200
+        out = np.asarray(json.loads(body)["windows"], np.float32)
+        assert out.shape == (2, 35, 29)
+        mod = load_serving_artifact(generator_artifact["zip"])
+        np.testing.assert_allclose(out, np.asarray(mod.generate(7, "walk")),
+                                   rtol=1e-6, atol=1e-6)
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((3,), np.uint32))
+        status, body, _ = _post(srv, "/v1/generate_walk", buf.getvalue(),
+                                "application/octet-stream")
+        assert status == 400 and b"threefry" in body
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_batch_bucketing_pads_and_slices(tiny_artifact):
     """Bucketed batches (3 -> pad 4) return exactly b rows, same numerics."""
     from bridgerl_tpu.export.server import ServingApp, _bucket
