@@ -118,6 +118,18 @@ def test_grid_codes_roundtrip():
     np.testing.assert_array_equal(back, grid)
 
 
+def test_stitch_windows_jax_matches_numpy():
+    """The frozen generator's in-graph overlap-add equals the host stitch."""
+    from bridgerl_tpu.train.prior import stitch_windows_jax
+
+    rng = np.random.default_rng(5)
+    wins = rng.normal(size=(2, 7, 10, 29)).astype(np.float32)
+    out = np.asarray(stitch_windows_jax(jnp.asarray(wins), stride=4))
+    for b in range(2):
+        np.testing.assert_allclose(out[b], stitch_windows(wins[b], 4),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_stitch_windows_overlap_average():
     wins = np.ones((3, 4, 2), np.float32)
     wins[1] = 3.0
