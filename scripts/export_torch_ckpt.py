@@ -40,6 +40,13 @@ def main() -> None:
         raise SystemExit("checkpoint has no embedded config; cannot export")
     exp = ck["config"]
     m = exp.model
+    if getattr(m, "tf_tokens", 1) != 1:
+        # the weights would map, but the reference model always mean-pools to
+        # ONE token (vqvae.py:458) — a K>1 checkpoint run through the torch
+        # modules would silently compute different semantics
+        raise SystemExit(
+            f"tf_tokens={m.tf_tokens}: multi-token latents have no torch "
+            f"counterpart in the reference; only tf_tokens=1 exports")
     _, template = init_model(m, jax.random.key(0))
     variables = restore_variables(template, ck["variables"])
 
