@@ -97,17 +97,24 @@ def analyze_checkpoint(
     max_per_action: int = 300,
     tsne_perplexity: float = 30.0,
     seed: int = 0,
+    ref_normalize: bool = False,
 ) -> List[str]:
     from sklearn.manifold import TSNE
 
     model, variables, exp = load_model_from_checkpoint(ckpt_path)
     window = exp.model.window_size
-    stats = {
-        "mean": np.load(os.path.join(data_dir, "mean.npy")),
-        "std": np.load(os.path.join(data_dir, "std.npy")),
-        "human_mean": np.load(os.path.join(data_dir, "human_mean.npy")),
-        "human_std": np.load(os.path.join(data_dir, "human_std.npy")),
-    }
+    if ref_normalize:
+        # reference analyze_latent_space.py:99-100 normalizes before encoding
+        # — but models TRAIN on raw windows (docs/REF_EXACT.md #6), so the
+        # default here keeps the encoder in-distribution
+        stats = {
+            "mean": np.load(os.path.join(data_dir, "mean.npy")),
+            "std": np.load(os.path.join(data_dir, "std.npy")),
+            "human_mean": np.load(os.path.join(data_dir, "human_mean.npy")),
+            "human_std": np.load(os.path.join(data_dir, "human_std.npy")),
+        }
+    else:
+        stats = {"mean": 0.0, "std": 1.0, "human_mean": 0.0, "human_std": 1.0}
     by_action = load_paired_data_by_action(raw_dir, window, stats, max_per_action)
     if not by_action:
         return []

@@ -62,7 +62,16 @@ def export_motions(
     step_size: Optional[int] = None,
     max_len: int = -1,
     verbose: bool = True,
+    ref_normalize: bool = False,
 ) -> List[str]:
+    """``ref_normalize=True`` restores the reference deployment's
+    normalize-at-inference (export_motion.py:47-53) — a measured
+    train/inference mismatch: the reference TRAINS on raw windows
+    (train_ablation.py:80-112 loads g1_train.npy unnormalized) yet its
+    deployment feeds (x-mean)/std to the model. On the W64 flagship that
+    costs 20x recon MSE (0.0748 vs 0.00371) and halves motion dynamics
+    (velocity ratio 0.535 vs 0.977) — docs/REF_EXACT.md. Default is the
+    training distribution (identity stats)."""
     model, variables, exp = load_model_from_checkpoint(ckpt_path)
     window = exp.model.window_size
     arch = exp.model.arch
@@ -71,7 +80,10 @@ def export_motions(
         step_size = max(1, window // 2)
     os.makedirs(output_dir, exist_ok=True)
 
-    mean, std = load_stats(data_dir)
+    if ref_normalize:
+        mean, std = load_stats(data_dir)
+    else:
+        mean, std = np.zeros(1, np.float32), np.ones(1, np.float32)
     apply_fn = robot_recon_fn(model, variables)
 
     raw_path = os.path.join(data_dir, "g1_train_full_raw.npy")

@@ -107,6 +107,7 @@ def export_serving_artifact(
     out_path: str,
     data_dir: str = "data/processed",
     platforms: Sequence[str] = ("cpu", "tpu"),
+    ref_normalize: bool = False,
 ) -> Dict[str, Any]:
     """Freeze the checkpoint's model into a self-contained serving artifact.
 
@@ -117,7 +118,8 @@ def export_serving_artifact(
     model, variables, exp = load_model_from_checkpoint(ckpt_path)
     return build_serving_artifact(model, variables, exp, out_path,
                                   data_dir=data_dir, platforms=platforms,
-                                  source=os.path.abspath(ckpt_path))
+                                  source=os.path.abspath(ckpt_path),
+                                  ref_normalize=ref_normalize)
 
 
 def export_fresh_artifact(
@@ -138,9 +140,12 @@ def export_fresh_artifact(
 
     exp = make_experiment(arch, method, window=window)
     model, variables = init_model(exp.model, jax.random.key(0))
+    # fresh-init benches keep the old contract: a data_dir means "bake its
+    # stats" (stat values don't change the compiled program's speed)
     return build_serving_artifact(model, variables, exp, out_path,
                                   data_dir=data_dir, platforms=platforms,
-                                  source="<fresh-init>")
+                                  source="<fresh-init>",
+                                  ref_normalize=data_dir is not None)
 
 
 def build_serving_artifact(
@@ -148,14 +153,25 @@ def build_serving_artifact(
     data_dir: Optional[str] = "data/processed",
     platforms: Sequence[str] = ("cpu", "tpu"),
     source: str = "<in-memory>",
+    ref_normalize: bool = False,
 ) -> Dict[str, Any]:
     """Freeze an in-memory (model, variables, config) triple — the shared
-    engine behind export_serving_artifact and fresh-init benchmarks."""
+    engine behind export_serving_artifact and fresh-init benchmarks.
+
+    ``ref_normalize=True`` bakes the saved dataset stats into the frozen
+    graph, reproducing the reference deployment's normalize-at-inference
+    (export_motion.py:47-53). That is a measured train/inference mismatch —
+    models train on RAW windows (reference train_ablation.py:80-112), and
+    feeding them normalized inputs costs 20x recon MSE / halves motion
+    dynamics (docs/REF_EXACT.md) — so the default bakes identity stats
+    (raw in, raw out, the training distribution).
+    """
     W = exp.model.window_size
     r_dim = exp.model.robot_input_dim
     h_dim = exp.model.human_input_dim
-    robot_stats = _load_stats_pair(data_dir, "mean.npy", "std.npy", r_dim)
-    human_stats = _load_stats_pair(data_dir, "human_mean.npy", "human_std.npy", h_dim)
+    stats_src = data_dir if ref_normalize else None
+    robot_stats = _load_stats_pair(stats_src, "mean.npy", "std.npy", r_dim)
+    human_stats = _load_stats_pair(stats_src, "human_mean.npy", "human_std.npy", h_dim)
     fns = make_serving_fns(model, variables, robot_stats, human_stats)
     in_dims = {"retarget": h_dim, "robot_recon": r_dim, "motion_codes": h_dim}
 
@@ -165,6 +181,7 @@ def build_serving_artifact(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "source_checkpoint": source,
+        "ref_normalize": ref_normalize,
         "functions": {},
     }
     def _sig(aval) -> list:
@@ -225,6 +242,7 @@ def export_generator_artifact(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    ref_normalize: bool = False,
 ) -> Dict[str, Any]:
     """Freeze prior + decoder + overlap-add into ONE generative program.
 
@@ -241,7 +259,8 @@ def export_generator_artifact(
 
     model, variables, exp = load_model_from_checkpoint(vq_ckpt)
     prior_model, prior_vars, pcfg = load_prior_checkpoint(prior_ckpt)
-    stats = _load_stats_pair(data_dir, "mean.npy", "std.npy",
+    stats = _load_stats_pair(data_dir if ref_normalize else None,
+                             "mean.npy", "std.npy",
                              exp.model.robot_input_dim)
     gen = make_generation_fn(model, variables, exp, prior_model, prior_vars,
                              stats[0], stats[1], n_positions=n_positions,
@@ -275,6 +294,7 @@ def export_generator_artifact(
         "n_positions": n_positions,
         "temperature": temperature,
         "top_k": top_k,
+        "ref_normalize": ref_normalize,
         "functions": {},
     }
     blobs: Dict[str, bytes] = {}

@@ -21,6 +21,11 @@ def main():
     p.add_argument("--data_dir", type=str, default="data/processed")
     p.add_argument("--out", type=str, default="plots/latent_space")
     p.add_argument("--max_per_action", type=int, default=300)
+    p.add_argument("--ref_normalize", action="store_true",
+                   help="normalize windows before encoding like the reference "
+                        "(analyze_latent_space.py:99-100); models train on "
+                        "raw windows, so the default keeps them "
+                        "in-distribution (docs/REF_EXACT.md)")
     args = p.parse_args()
 
     from bridgerl_tpu.eval import analyze_checkpoint
@@ -29,7 +34,8 @@ def main():
         glob.glob(os.path.join(args.ckpt_dir, "*_best.ckpt")))
     for ck in ckpts:
         written = analyze_checkpoint(ck, args.raw_dir, args.data_dir, args.out,
-                                     args.max_per_action)
+                                     args.max_per_action,
+                                     ref_normalize=args.ref_normalize)
         for w in written:
             print(f"Saved {w}")
 

@@ -22,6 +22,11 @@ def main():
     p.add_argument("--step_size", type=int, default=None,
                    help="Sliding-window stride; default window // 2")
     p.add_argument("--max_len", type=int, default=-1)
+    p.add_argument("--ref_normalize", action="store_true",
+                   help="normalize windows at inference like the reference "
+                        "deployment (export_motion.py:47-53). Models TRAIN "
+                        "on raw windows — this costs 20x recon MSE and half "
+                        "the dynamics (docs/REF_EXACT.md). Default: raw.")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -30,7 +35,8 @@ def main():
 
     export_motions(args.ckpt, data_dir=args.data_dir, output_dir=args.output_dir,
                    start_idx=args.start_idx, num_samples=args.num_samples,
-                   step_size=args.step_size, max_len=args.max_len)
+                   step_size=args.step_size, max_len=args.max_len,
+                   ref_normalize=args.ref_normalize)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,12 @@ def main():
                    help="generator: motions per call")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--ref_normalize", action="store_true",
+                   help="bake (x-mean)/std normalization into the frozen "
+                        "graph like the reference deployment. Models TRAIN "
+                        "on raw windows — normalized inputs are out-of-"
+                        "distribution (20x recon MSE, half the dynamics; "
+                        "docs/REF_EXACT.md). Default: raw in, raw out.")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -50,10 +56,11 @@ def main():
             args.ckpt, args.prior, args.out, data_dir=args.data_dir,
             n_positions=args.positions, n_samples=args.num,
             temperature=args.temperature, top_k=args.top_k,
-            platforms=platforms)
+            platforms=platforms, ref_normalize=args.ref_normalize)
     else:
         meta = export_serving_artifact(
-            args.ckpt, args.out, data_dir=args.data_dir, platforms=platforms)
+            args.ckpt, args.out, data_dir=args.data_dir, platforms=platforms,
+            ref_normalize=args.ref_normalize)
     for name, sig in meta["functions"].items():
         print(f"  {name}: {sig['input']} -> {sig['output']}")
     print(f"wrote {args.out} (platforms={meta['platforms']})")

@@ -39,6 +39,10 @@ def main():
     p.add_argument("--action", default=None,
                    help="action class for a conditioned prior (see the "
                         "checkpoint's class_names); all samples use it")
+    p.add_argument("--ref_normalize", action="store_true",
+                   help="treat decoder output as normalized, like the "
+                        "reference deployment (must match the prior's "
+                        "tokenization; see scripts/train_prior.py)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -56,7 +60,10 @@ def main():
     if pcfg.source_experiment and pcfg.source_experiment != exp.id:
         print(f"[WARN] prior was trained on '{pcfg.source_experiment}', "
               f"decoding through '{exp.id}'")
-    mean, std = load_stats(args.data_dir)
+    if args.ref_normalize:
+        mean, std = load_stats(args.data_dir)
+    else:
+        mean, std = np.zeros(1, np.float32), np.ones(1, np.float32)
 
     class_ids = None
     if pcfg.class_names:

@@ -47,6 +47,11 @@ def main():
     p.add_argument("--labeled_dir", default=None,
                    help="dir of {action}_{i}.npz files (joint_pos key) -> "
                         "class-conditioned prior (e.g. data/raw_actions)")
+    p.add_argument("--ref_normalize", action="store_true",
+                   help="tokenize (x-mean)/std windows like the reference "
+                        "deployment. Models TRAIN on raw windows; normalized "
+                        "inputs are out-of-distribution (20x recon MSE, half "
+                        "the dynamics — docs/REF_EXACT.md). Default: raw.")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -69,7 +74,10 @@ def main():
     model, variables, exp = load_model_from_checkpoint(args.ckpt)
     W = exp.model.window_size
     stride = args.stride or max(1, W // 2)
-    mean, std = load_stats(args.data_dir)
+    if args.ref_normalize:
+        mean, std = load_stats(args.data_dir)
+    else:
+        mean, std = np.zeros(1, np.float32), np.ones(1, np.float32)
 
     labels = None
     if args.labeled_dir:

@@ -52,15 +52,16 @@ def tiny_artifact(tmp_path_factory):
             "tmp": tmp_path}
 
 
-def _direct_fns(info):
+def _direct_fns(info, ref_normalize=False):
     """Ground truth: the same closures the exporter froze, run live."""
     from bridgerl_tpu.export.motion_export import load_model_from_checkpoint
     from bridgerl_tpu.export.serialize import _load_stats_pair
 
     model, variables, exp = load_model_from_checkpoint(info["ckpt"])
-    robot_stats = _load_stats_pair(info["data_dir"], "mean.npy", "std.npy",
+    src = info["data_dir"] if ref_normalize else None
+    robot_stats = _load_stats_pair(src, "mean.npy", "std.npy",
                                    exp.model.robot_input_dim)
-    human_stats = _load_stats_pair(info["data_dir"], "human_mean.npy",
+    human_stats = _load_stats_pair(src, "human_mean.npy",
                                    "human_std.npy", exp.model.human_input_dim)
     return make_serving_fns(model, variables, robot_stats, human_stats), exp
 
@@ -135,6 +136,31 @@ def test_stats_identity_fallback(tmp_path):
 def test_ae_artifact_has_no_codes_fn(tiny_artifact):
     """method='ae' has no discrete codes; the artifact must not export them."""
     assert "motion_codes" not in tiny_artifact["meta"]["functions"]
+
+
+def test_default_is_raw_ref_normalize_restores_stats(tiny_artifact):
+    """Models train on RAW windows (reference train_ablation.py:80-112); the
+    default artifact must be raw-in/raw-out, and --ref_normalize must
+    reproduce the reference deployment's (x-mean)/std wrapping — the measured
+    20x-recon-MSE train/inference mismatch (docs/REF_EXACT.md)."""
+    from bridgerl_tpu.export.serialize import export_serving_artifact
+
+    assert tiny_artifact["meta"]["ref_normalize"] is False
+    refzip = str(tiny_artifact["tmp"] / "refnorm.zip")
+    meta = export_serving_artifact(tiny_artifact["ckpt"], refzip,
+                                   data_dir=tiny_artifact["data_dir"],
+                                   platforms=("cpu",), ref_normalize=True)
+    assert meta["ref_normalize"] is True
+    raw_mod = load_serving_artifact(tiny_artifact["zip"])
+    ref_mod = load_serving_artifact(refzip)
+    x = np.random.default_rng(2).normal(size=(2, 10, 29)).astype(np.float32)
+    raw_out = np.asarray(raw_mod.robot_recon(x))
+    ref_out = np.asarray(ref_mod.robot_recon(x))
+    assert not np.allclose(raw_out, ref_out)
+    # the reference-mode artifact equals the live normalize->model->denorm
+    direct, _ = _direct_fns(tiny_artifact, ref_normalize=True)
+    np.testing.assert_allclose(ref_out, np.asarray(direct["robot_recon"](x)),
+                               rtol=2e-5, atol=2e-5)
 
 
 @pytest.fixture(scope="module")
