@@ -70,6 +70,26 @@ def compare_to_data(generated: Sequence[np.ndarray],
     }
 
 
+def overlap_disagreement(windows: np.ndarray, stride: int) -> float:
+    """RMS disagreement of adjacent sampled windows on their overlap region.
+
+    ``windows`` is (N, W, D) — consecutive decoded windows placed on the pure
+    stride grid, BEFORE overlap-add stitching. Ground-truth windows of one
+    take agree exactly on their overlap (RMS 0); a prior whose adjacent
+    positions describe different motions disagrees, and the stitch averages
+    the disagreement away into under-dynamic output (docs/ROUND3.md). This is
+    the direct measure of that coherence failure. Returns 0.0 when stride >=
+    W (no overlap).
+    """
+    N, W, _ = windows.shape
+    ov = W - stride
+    if ov <= 0 or N < 2:
+        return 0.0
+    a = windows[:-1, stride:]      # tail of window i on the shared frames
+    b = windows[1:, :ov]           # head of window i+1 on the same frames
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
 def format_report(rep: Dict[str, float]) -> str:
     lines = [
         "generation vs data statistics:",

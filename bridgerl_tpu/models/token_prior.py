@@ -60,6 +60,13 @@ class PriorConfig:
     source_experiment: str = ""         # provenance: the VQ-VAE experiment id
     # class-conditioned generation: action names, empty = unconditioned
     class_names: Tuple[str, ...] = ()
+    # within-position slot autoregression (full RQ-transformer): slot s of a
+    # position conditions on slots < s of the SAME position through a small
+    # causal depth transformer, instead of the slots being conditionally
+    # independent given the temporal prefix. Measured cure for incoherent
+    # slot combinations in sampled windows (docs/ROUND3.md generation notes).
+    slot_ar: bool = False
+    depth_layers: int = 2
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self))
@@ -87,9 +94,11 @@ class MotionTokenPrior(nn.Module):
 
     Input grid: (B, N, S) int32, values in the *normalized* code space
     [0, vocab_s). Returns per-slot logits (B, N, V_s) predicting the tokens
-    at each position given every position strictly before it (slot 0..S-1 of
-    position t are conditionally independent given the prefix — the spatial
-    factorization).
+    at each position given every position strictly before it. With
+    ``slot_ar=False`` slots 0..S-1 of position t are conditionally
+    independent given the prefix (spatial factorization); with
+    ``slot_ar=True`` a small causal depth transformer additionally feeds
+    slot s the position's own slots < s (RQ-transformer).
     """
 
     cfg: PriorConfig
@@ -102,10 +111,12 @@ class MotionTokenPrior(nn.Module):
         B, N, S = grid.shape
         assert S == len(c.vocab_sizes), (
             f"grid has {S} token slots, config expects {len(c.vocab_sizes)}")
+        embs = [nn.Embed(v, c.d_model, dtype=self.dtype,
+                         name=f"embed_{s}")(grid[..., s])
+                for s, v in enumerate(c.vocab_sizes)]
         h = jnp.zeros((B, N, c.d_model), self.dtype)
-        for s, v in enumerate(c.vocab_sizes):
-            h = h + nn.Embed(v, c.d_model, dtype=self.dtype,
-                             name=f"embed_{s}")(grid[..., s])
+        for e in embs:
+            h = h + e
         # shift right: position t sees positions < t; a learned BOS vector
         # stands in for "before the take started"
         bos = self.param("bos", nn.initializers.normal(0.02), (c.d_model,))
@@ -127,9 +138,28 @@ class MotionTokenPrior(nn.Module):
         h = TransformerStack(c.n_layers, c.d_model, c.n_heads, c.ff_dim,
                              dropout=c.dropout, dtype=self.dtype,
                              name="stack")(h, train=train, mask=mask)
-        # heads in f32: softmax/CE numerics independent of compute dtype
-        return [nn.Dense(v, dtype=jnp.float32, name=f"head_{s}")(h)
-                for s, v in enumerate(c.vocab_sizes)]
+        if not c.slot_ar:
+            # heads in f32: softmax/CE numerics independent of compute dtype
+            return [nn.Dense(v, dtype=jnp.float32, name=f"head_{s}")(h)
+                    for s, v in enumerate(c.vocab_sizes)]
+        # depth AR (RQ-transformer): within position t the depth sequence is
+        # [ctx, ctx+emb(tok_0), ..., ctx+emb(tok_{S-2})] where ctx = backbone
+        # output at t (reads positions < t only). Causal over depth, so slot
+        # s's logits see exactly the prefix positions plus slots < s of t.
+        # Embedding tables are shared with the backbone sum.
+        d_in = jnp.stack([h] + [h + embs[s] for s in range(S - 1)], axis=2)
+        dpos = self.param("depth_pos", nn.initializers.normal(0.02),
+                          (S, c.d_model))
+        d_in = d_in + dpos.astype(d_in.dtype)
+        d_in = d_in.reshape(B * N, S, c.d_model)
+        dmask = nn.make_causal_mask(jnp.zeros((B * N, S)))
+        d_out = TransformerStack(c.depth_layers, c.d_model, c.n_heads,
+                                 c.ff_dim, dropout=c.dropout,
+                                 dtype=self.dtype, name="depth_stack")(
+                                     d_in, train=train, mask=dmask)
+        d_out = d_out.reshape(B, N, S, c.d_model)
+        return [nn.Dense(v, dtype=jnp.float32, name=f"head_{s}")(
+                    d_out[:, :, s]) for s, v in enumerate(c.vocab_sizes)]
 
 
 def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
@@ -157,27 +187,38 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
     One jitted program: `lax.fori_loop` over positions, each step running the
     full-length causal model on the grid so far (static shapes; the causal
     mask guarantees step t only reads positions < t, so the not-yet-filled
-    suffix can hold anything). ``class_ids`` (batch,) selects the action for
-    a class-conditioned prior.
+    suffix can hold anything). A ``slot_ar`` prior re-applies the model once
+    per slot within the position so each slot conditions on the ones already
+    sampled (S small — the depth loop unrolls). ``class_ids`` (batch,)
+    selects the action for a class-conditioned prior.
     """
     S = len(model.cfg.vocab_sizes)
     if length > model.cfg.max_len:
         raise ValueError(f"length {length} > max_len {model.cfg.max_len}")
 
+    def sample_slot(grid, logits, t, s, key):
+        lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
+        lg = lg / jnp.asarray(max(temperature, 1e-6), lg.dtype)
+        if top_k is not None and top_k < lg.shape[-1]:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        tok = jax.random.categorical(key, lg)
+        return jax.lax.dynamic_update_slice(
+            grid, tok[:, None, None].astype(jnp.int32), (0, t, s))
+
     def step(t, carry):
         grid, rng = carry
-        logits = model.apply(variables, grid, train=False,
-                             class_ids=class_ids)
         rng, *keys = jax.random.split(rng, S + 1)
-        for s in range(S):
-            lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
-            lg = lg / jnp.asarray(max(temperature, 1e-6), lg.dtype)
-            if top_k is not None and top_k < lg.shape[-1]:
-                kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
-                lg = jnp.where(lg < kth, -jnp.inf, lg)
-            tok = jax.random.categorical(keys[s], lg)
-            grid = jax.lax.dynamic_update_slice(
-                grid, tok[:, None, None].astype(jnp.int32), (0, t, s))
+        if model.cfg.slot_ar:
+            for s in range(S):
+                logits = model.apply(variables, grid, train=False,
+                                     class_ids=class_ids)
+                grid = sample_slot(grid, logits, t, s, keys[s])
+        else:
+            logits = model.apply(variables, grid, train=False,
+                                 class_ids=class_ids)
+            for s in range(S):
+                grid = sample_slot(grid, logits, t, s, keys[s])
         return grid, rng
 
     grid0 = jnp.zeros((batch, length, S), jnp.int32)

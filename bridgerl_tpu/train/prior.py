@@ -360,12 +360,15 @@ def sample_motion(
     n_positions: int = 32, temperature: float = 1.0,
     top_k: Optional[int] = None, seed: int = 0,
     class_ids: Optional[np.ndarray] = None,
-) -> List[np.ndarray]:
+    return_windows: bool = False,
+):
     """Sample new token grids and decode them to raw robot motions.
 
     Returns a list of (T, 29) float32 raw joint trajectories,
     T = stride*(n_positions-1) + W. ``class_ids`` (n_samples,) selects the
-    action per sample for a conditioned prior.
+    action per sample for a conditioned prior. With ``return_windows`` also
+    returns the pre-stitch decoded windows (n_samples, N, W, D) — the input
+    eval/generation.overlap_disagreement diagnoses sampling coherence on.
     """
     pcfg = prior_model.cfg
     grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
@@ -380,4 +383,7 @@ def sample_motion(
     wins = np.asarray(wins, np.float32) * std + mean       # raw windows
     W = pcfg.window
     wins = wins.reshape(n_samples, n_positions, W, -1)
-    return [stitch_windows(w, pcfg.stride) for w in wins]
+    motions = [stitch_windows(w, pcfg.stride) for w in wins]
+    if return_windows:
+        return motions, wins
+    return motions

@@ -77,18 +77,25 @@ def main():
     elif args.action is not None:
         raise SystemExit("--action given but the prior is unconditioned")
 
-    motions = sample_motion(
+    motions, windows = sample_motion(
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
         temperature=args.temperature, top_k=args.top_k, seed=args.seed,
-        class_ids=class_ids)
+        class_ids=class_ids, return_windows=True)
 
     if args.eval:
-        from bridgerl_tpu.eval.generation import compare_to_data, format_report
+        from bridgerl_tpu.eval.generation import (
+            compare_to_data,
+            format_report,
+            overlap_disagreement,
+        )
         full_raw = Path(args.data_dir) / "g1_train_full_raw.npy"
         ref = (list(np.load(full_raw, allow_pickle=True)) if full_raw.exists()
                else list(np.load(Path(args.data_dir) / "g1_train.npy")))
         print(format_report(compare_to_data(motions, ref)))
+        dis = np.mean([overlap_disagreement(w, pcfg.stride) for w in windows])
+        print(f"  window overlap disagreement RMS {dis:.4f} "
+              f"(data windows: 0 by construction)")
 
     out_dir = Path(args.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -41,6 +41,12 @@ def main():
     p.add_argument("--n_heads", type=int, default=4)
     p.add_argument("--ff_dim", type=int, default=512)
     p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--slot_ar", action="store_true",
+                   help="within-position slot autoregression (RQ-transformer "
+                        "depth head): slot s conditions on slots < s of the "
+                        "same position, curing incoherent slot combinations")
+    p.add_argument("--depth_layers", type=int, default=2,
+                   help="depth-transformer layers (slot_ar only)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--prng", default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
@@ -110,7 +116,8 @@ def main():
         pcfg = dataclasses.replace(pcfg, class_names=names)
     pcfg = dataclasses.replace(
         pcfg, d_model=args.d_model, n_layers=args.n_layers,
-        n_heads=args.n_heads, ff_dim=args.ff_dim, dropout=args.dropout)
+        n_heads=args.n_heads, ff_dim=args.ff_dim, dropout=args.dropout,
+        slot_ar=args.slot_ar, depth_layers=args.depth_layers)
     n_tokens = int(mask.sum()) * len(pcfg.vocab_sizes)
     print(f"[INFO] {grids.shape[0]} grids, {int(mask.sum())} positions, "
           f"{n_tokens} tokens, {len(pcfg.vocab_sizes)} slots/position")

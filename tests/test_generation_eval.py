@@ -49,3 +49,26 @@ def test_noise_overshoot_is_flagged():
 def test_short_sequences_do_not_crash():
     m = motion_stats([np.ones((3, 4), np.float32)])
     assert m["jerk_rms"] == 0.0 and np.isfinite(m["vel_rms"])
+
+
+def test_overlap_disagreement_zero_on_true_windows():
+    """Windows cut from ONE trajectory on the stride grid agree exactly."""
+    from bridgerl_tpu.eval.generation import overlap_disagreement
+
+    rng = np.random.default_rng(3)
+    traj = rng.normal(size=(50, 29)).astype(np.float32)
+    W, S = 10, 4
+    wins = np.stack([traj[s:s + W] for s in range(0, 50 - W + 1, S)])
+    assert overlap_disagreement(wins, S) == 0.0
+
+
+def test_overlap_disagreement_measures_incoherence():
+    from bridgerl_tpu.eval.generation import overlap_disagreement
+
+    rng = np.random.default_rng(4)
+    wins = rng.normal(size=(8, 10, 29)).astype(np.float32)  # iid windows
+    d = overlap_disagreement(wins, 4)
+    assert d > 1.0  # iid gaussian halves differ by ~sqrt(2)
+    # no overlap -> vacuously coherent
+    assert overlap_disagreement(wins, 10) == 0.0
+    assert overlap_disagreement(wins[:1], 4) == 0.0

@@ -259,3 +259,92 @@ def test_prior_checkpoint_roundtrip(tmp_path):
         bad = str(tmp_path / "bad.ckpt")
         open(bad, "wb").write(b"\x81\xa4kind\xa3nop")
         load_prior_checkpoint(bad)
+
+
+# ------------------------------------------------------------- slot-AR prior
+
+TINY_AR = dataclasses.replace(TINY, slot_ar=True, depth_layers=1)
+
+
+def _tiny_ar_model():
+    model = MotionTokenPrior(TINY_AR)
+    grid = jnp.zeros((2, 8, 2), jnp.int32)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(0)}, grid, train=False)
+    return model, variables
+
+
+def test_slot_ar_depth_causality():
+    """Slot s's logits at position t see slots < s of t and nothing later.
+
+    Changing slot 0's token at position t must change slot 1's logits AT t
+    (the depth link) but not slot 0's own logits at t; changing slot 1's
+    token at t must change neither slot's logits at t (only positions > t).
+    """
+    model, variables = _tiny_ar_model()
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 5, size=(1, 8, 2)).astype(np.int32)
+    t = 3
+
+    flip0 = base.copy()
+    flip0[:, t, 0] = (flip0[:, t, 0] + 1) % 5
+    flip1 = base.copy()
+    flip1[:, t, 1] = (flip1[:, t, 1] + 1) % 5
+
+    lb = model.apply(variables, jnp.asarray(base), train=False)
+    l0 = model.apply(variables, jnp.asarray(flip0), train=False)
+    l1 = model.apply(variables, jnp.asarray(flip1), train=False)
+
+    # flip slot 0 at t: slot 0 logits at t unchanged, slot 1 logits at t move
+    np.testing.assert_allclose(np.asarray(lb[0][:, t]), np.asarray(l0[0][:, t]),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(np.asarray(lb[1][:, t]), np.asarray(l0[1][:, t]))
+    # flip slot 1 at t: both slots' logits at t unchanged...
+    for s in range(2):
+        np.testing.assert_allclose(np.asarray(lb[s][:, t]),
+                                   np.asarray(l1[s][:, t]),
+                                   rtol=1e-5, atol=1e-6)
+    # ...but positions after t see the change (temporal link intact)
+    assert not np.allclose(np.asarray(lb[0][:, t + 1:]),
+                           np.asarray(l1[0][:, t + 1:]))
+
+
+def test_slot_ar_learns_within_position_correlation():
+    """slot1 == slot0 with slot0 iid-uniform: the factorized prior is
+    information-bound at CE ~= log(5) on slot 1 (it never sees slot 0 of the
+    same position), the slot-AR prior can drive slot 1's CE to ~0 — and its
+    samples must respect the constraint."""
+    rng = np.random.default_rng(4)
+    grids = np.zeros((64, 8, 2), np.int32)
+    grids[..., 0] = rng.integers(0, 5, size=(64, 8))
+    grids[..., 1] = grids[..., 0]
+    mask = np.ones((64, 8), np.float32)
+    tcfg = PriorTrainConfig(epochs=80, batch_size=16, lr=3e-3, patience=-1,
+                            val_fraction=0.125, seed=0)
+
+    _, hist_fact = train_prior(grids, mask, TINY, tcfg, verbose=False)
+    vars_ar, hist_ar = train_prior(grids, mask, TINY_AR, tcfg, verbose=False)
+
+    # mean CE over both slots: factorized floor = (log5 + log5)/2 = 1.609
+    # (slot 0 is unpredictable, slot 1 is a copy it cannot see);
+    # slot-AR floor = (log5 + 0)/2 = 0.805.
+    assert min(hist_fact["val_loss"]) > 1.35
+    assert min(hist_ar["val_loss"]) < 1.15
+
+    model_ar = MotionTokenPrior(TINY_AR)
+    g = np.asarray(sample_grids(model_ar, vars_ar, jax.random.key(1),
+                                batch=8, length=8, temperature=0.5))
+    agree = (g[..., 1] == g[..., 0]).mean()
+    assert agree > 0.9, f"sampled slot agreement {agree}"
+
+
+def test_slot_ar_checkpoint_roundtrip(tmp_path):
+    model, variables = _tiny_ar_model()
+    assert "depth_stack" in variables["params"]
+    path = str(tmp_path / "prior_ar.ckpt")
+    save_prior_checkpoint(path, variables, TINY_AR)
+    _, v2, pcfg2 = load_prior_checkpoint(path)
+    assert pcfg2.slot_ar and pcfg2.depth_layers == 1
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
