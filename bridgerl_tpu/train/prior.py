@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,14 +58,20 @@ def extract_code_grids(
     model, variables, exp, sequences: List[np.ndarray],
     mean: np.ndarray, std: np.ndarray, stride: int,
     max_len: int = 256, batch_windows: int = 4096,
+    phases: Sequence[int] = (0,),
 ) -> Tuple[np.ndarray, np.ndarray, PriorConfig]:
     """Tokenize raw robot sequences into padded normalized code grids.
 
     Windows are taken on the pure stride grid (start + W <= T) so positions
-    advance uniformly in time — the property the prior models. Returns
+    advance uniformly in time — the property the prior models. ``phases``
+    shifts the whole grid by a per-phase start offset in [0, stride): each
+    phase is an independent valid stride grid over the same take, multiplying
+    the prior's corpus |phases|-fold without changing its distribution (the
+    measured constraint is grid count, docs/ROUND3.md). Returns
     (grids (n_grids, max_len, S), mask (n_grids, max_len), PriorConfig,
     seq_ids (n_grids,) — the input-sequence index each grid came from, so
-    callers can attach per-sequence labels for a conditioned prior).
+    callers can attach per-sequence labels for a conditioned prior or split
+    train/val by take; phase copies keep their take's id).
     """
     W = exp.model.window_size
     sizes = sorted(code_vocab_sizes(exp.model).items())
@@ -74,17 +80,20 @@ def extract_code_grids(
     seq_ids: List[int] = []
     for si, seq in enumerate(sequences):
         seq = np.asarray(seq, np.float32)
-        starts = range(0, seq.shape[0] - W + 1, stride)
-        wins = [seq[s:s + W] for s in starts]
-        # long takes become several max_len grids instead of being truncated
-        # (a tail shorter than 2 positions has no next-token signal)
-        for off in range(0, len(wins), max_len):
-            chunk_wins = wins[off:off + max_len]
-            if len(chunk_wins) < 2:
-                continue
-            per_seq_windows.append(np.stack(chunk_wins))
-            counts.append(len(chunk_wins))
-            seq_ids.append(si)
+        for phase in phases:
+            if not 0 <= phase < max(stride, 1):
+                raise ValueError(f"phase {phase} outside [0, stride)")
+            starts = range(phase, seq.shape[0] - W + 1, stride)
+            wins = [seq[s:s + W] for s in starts]
+            # long takes become several max_len grids instead of being
+            # truncated (a tail < 2 positions has no next-token signal)
+            for off in range(0, len(wins), max_len):
+                chunk_wins = wins[off:off + max_len]
+                if len(chunk_wins) < 2:
+                    continue
+                per_seq_windows.append(np.stack(chunk_wins))
+                counts.append(len(chunk_wins))
+                seq_ids.append(si)
     if not per_seq_windows:
         raise ValueError(f"no sequence yields a full window (W={W})")
 
@@ -148,11 +157,16 @@ def train_prior(
     grids: np.ndarray, mask: np.ndarray, pcfg: PriorConfig,
     tcfg: PriorTrainConfig, verbose: bool = True,
     class_ids: Optional[np.ndarray] = None,
+    seq_ids: Optional[np.ndarray] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, List[float]]]:
     """Returns (best variables, history). Whole epoch = one jitted scan.
 
     ``class_ids`` (n_grids,) int32 per-grid action labels are required iff
-    pcfg.class_names is non-empty (conditioned prior).
+    pcfg.class_names is non-empty (conditioned prior). ``seq_ids`` (n_grids,)
+    groups grids by source take: when given, the 90/10 split is over TAKES,
+    so chunked long takes and phase-augmented copies of one take never
+    straddle train and val (otherwise near-duplicate grids leak and val CE
+    reads optimistic).
     """
     import optax
 
@@ -161,9 +175,22 @@ def train_prior(
                          "pcfg.class_names is set")
     n = grids.shape[0]
     rng = np.random.default_rng(tcfg.seed)
-    perm = rng.permutation(n)
-    n_val = max(1, int(n * tcfg.val_fraction)) if n > 1 else 0
-    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    if seq_ids is not None:
+        seq_ids = np.asarray(seq_ids)
+        if seq_ids.shape != (n,):
+            raise ValueError(f"seq_ids shape {seq_ids.shape} != ({n},)")
+        takes = rng.permutation(np.unique(seq_ids))
+        n_val_takes = max(1, int(len(takes) * tcfg.val_fraction)) \
+            if len(takes) > 1 else 0
+        val_takes = set(takes[:n_val_takes].tolist())
+        is_val = np.asarray([int(s) in val_takes for s in seq_ids])
+        val_idx = rng.permutation(np.nonzero(is_val)[0])
+        train_idx = rng.permutation(np.nonzero(~is_val)[0])
+        n_val = val_idx.size
+    else:
+        perm = rng.permutation(n)
+        n_val = max(1, int(n * tcfg.val_fraction)) if n > 1 else 0
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
     if train_idx.size == 0:
         raise ValueError("prior training needs at least one train sequence")
     bs = min(tcfg.batch_size, train_idx.size)

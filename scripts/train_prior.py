@@ -30,6 +30,11 @@ def main():
                    help="window stride on the motion timeline (default W//2)")
     p.add_argument("--max_len", type=int, default=128,
                    help="max positions (windows) per sequence")
+    p.add_argument("--phases", type=int, default=1,
+                   help="corpus augmentation: tokenize each take at N evenly "
+                        "spaced start offsets in [0, stride) (N independent "
+                        "stride grids per take; train/val still split by "
+                        "take so copies never leak across the split)")
     p.add_argument("--epochs", type=int, default=300)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -104,10 +109,13 @@ def main():
             # sliced-only dataset: treat each window as a short sequence
             print("[WARN] no g1_train_full_raw.npy; falling back to sliced windows")
             seqs = list(np.load(Path(args.data_dir) / "g1_train.npy"))
-    print(f"[INFO] tokenizing {len(seqs)} sequences (W={W}, stride={stride})")
+    phases = sorted({round(i * stride / args.phases)
+                     for i in range(args.phases)} & set(range(stride))) or [0]
+    print(f"[INFO] tokenizing {len(seqs)} sequences (W={W}, stride={stride}, "
+          f"phases={phases})")
     grids, mask, pcfg, seq_ids = extract_code_grids(
         model, variables, exp, seqs, mean, std, stride,
-        max_len=args.max_len)
+        max_len=args.max_len, phases=phases)
     class_ids = None
     if labels is not None:
         names = tuple(sorted(set(labels)))
@@ -128,7 +136,7 @@ def main():
         seed=args.seed,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     best_vars, history = train_prior(grids, mask, pcfg, tcfg,
-                                     class_ids=class_ids)
+                                     class_ids=class_ids, seq_ids=seq_ids)
     save_prior_checkpoint(args.out, best_vars, pcfg, history=history)
     hist_path = str(Path(args.out).with_suffix(".history.json"))
     with open(hist_path, "w") as f:

@@ -348,3 +348,55 @@ def test_slot_ar_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(variables),
                     jax.tree_util.tree_leaves(v2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------- corpus phases + grouped split
+
+def test_extract_code_grids_phases(tiny_vq):
+    """N phases = N independent stride grids per take, same take id."""
+    exp, model, variables = tiny_vq
+    rng = np.random.default_rng(2)
+    seqs = [rng.normal(size=(40, 29)).astype(np.float32)]
+    mean, std = np.zeros(29, np.float32), np.ones(29, np.float32)
+    g1, m1, _, id1 = extract_code_grids(
+        model, variables, exp, seqs, mean, std, stride=5, max_len=8)
+    g2, m2, _, id2 = extract_code_grids(
+        model, variables, exp, seqs, mean, std, stride=5, max_len=8,
+        phases=[0, 2])
+    # phase 0: starts 0..30 -> 7 windows; phase 2: starts 2..27 -> 6
+    np.testing.assert_array_equal(m1.sum(1), [7])
+    np.testing.assert_array_equal(m2.sum(1), [7, 6])
+    np.testing.assert_array_equal(id2, [0, 0])  # copies keep the take id
+    # the phase-0 grid is bit-identical to the unaugmented one
+    np.testing.assert_array_equal(g2[0], g1[0])
+    # a phase copy is a different token sequence, not a duplicate
+    assert not np.array_equal(g2[1, :6], g2[0, :6])
+    with pytest.raises(ValueError, match="phase"):
+        extract_code_grids(model, variables, exp, seqs, mean, std, stride=5,
+                           max_len=8, phases=[5])
+
+
+def test_grouped_split_keeps_takes_together():
+    """With seq_ids, grids of one take never straddle train/val.
+
+    Two takes with DISJOINT constant token patterns, 4 identical grid copies
+    each (what phase augmentation produces). A leaky per-grid split puts
+    copies of both takes in train, so val CE memorizes to ~0; the grouped
+    split holds one whole take out, so its pattern is never seen and val CE
+    stays high. The contrast proves the grouping, not just the plumbing.
+    """
+    grids = np.zeros((8, 8, 2), np.int32)
+    grids[:4, ..., 0], grids[:4, ..., 1] = 6, 4   # take 0 pattern
+    grids[4:, ..., 0], grids[4:, ..., 1] = 1, 0   # take 1 pattern
+    mask = np.ones((8, 8), np.float32)
+    seq_ids = np.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    tcfg = PriorTrainConfig(epochs=50, batch_size=4, lr=3e-3, patience=-1,
+                            val_fraction=0.5, seed=3)
+    _, leaky = train_prior(grids, mask, TINY, tcfg, verbose=False)
+    _, grouped = train_prior(grids, mask, TINY, tcfg, verbose=False,
+                             seq_ids=seq_ids)
+    assert min(leaky["val_loss"]) < 0.5       # memorized across the leak
+    assert min(grouped["val_loss"]) > 1.0     # held-out take stays unseen
+    with pytest.raises(ValueError, match="seq_ids"):
+        train_prior(grids, mask, TINY, tcfg, verbose=False,
+                    seq_ids=seq_ids[:3])
