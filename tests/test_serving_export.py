@@ -549,3 +549,49 @@ def test_batch_bucketing_pads_and_slices(tiny_artifact):
     x = np.random.default_rng(3).normal(size=(3, 10, 126)).astype(np.float32)
     np.testing.assert_allclose(app.call("retarget", x),
                                np.asarray(mod.retarget(x)), rtol=2e-5, atol=2e-5)
+
+
+def test_generator_artifact_slot_ar(tmp_path):
+    """A slot-AR prior (per-slot re-apply inside the sampling fori_loop)
+    freezes into the same generator-artifact contract."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from bridgerl_tpu.models import init_model
+    from bridgerl_tpu.models.token_prior import (
+        MotionTokenPrior, PriorConfig, flatten_vocab_sizes)
+    from bridgerl_tpu.ops import code_vocab_sizes
+    from bridgerl_tpu.train.checkpoint import save_checkpoint
+    from bridgerl_tpu.train.prior import save_prior_checkpoint
+    from bridgerl_tpu.export.serialize import export_generator_artifact
+
+    exp = make_experiment("resnet_no_down", "hybrid", window=10, hidden_dim=16,
+                          num_res_layers=1)
+    model, variables = init_model(exp.model, jax.random.key(0))
+    vq_ckpt = str(tmp_path / "vq.ckpt")
+    save_checkpoint(vq_ckpt, epoch=0, variables=variables, config=exp)
+
+    sizes = sorted(code_vocab_sizes(exp.model).items())
+    pcfg = PriorConfig(
+        streams=tuple(n for n, _ in sizes),
+        vocab_sizes=flatten_vocab_sizes(sizes, tokens_per_stream=10),
+        tokens_per_stream=10, window=10, stride=5,
+        d_model=16, n_heads=2, n_layers=1, ff_dim=32, max_len=8,
+        slot_ar=True, depth_layers=1)
+    prior = MotionTokenPrior(pcfg)
+    pv = prior.init({"params": jax.random.key(1), "dropout": jax.random.key(1)},
+                    jnp.zeros((1, 8, len(pcfg.vocab_sizes)), jnp.int32),
+                    train=False)
+    prior_ckpt = str(tmp_path / "prior_ar.ckpt")
+    save_prior_checkpoint(prior_ckpt, pv, pcfg)
+
+    out = str(tmp_path / "generator_ar.zip")
+    meta = export_generator_artifact(vq_ckpt, prior_ckpt, out,
+                                     data_dir=str(tmp_path / "nostats"),
+                                     n_positions=4, n_samples=2)
+    assert "generate" in meta["functions"]
+    mod = load_serving_artifact(out)
+    m = np.asarray(mod.generate(3))
+    assert m.shape == (2, 5 * 3 + 10, 29) and np.isfinite(m).all()
+    np.testing.assert_array_equal(m, np.asarray(mod.generate(3)))
