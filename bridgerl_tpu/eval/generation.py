@@ -90,6 +90,72 @@ def overlap_disagreement(windows: np.ndarray, stride: int) -> float:
     return float(np.sqrt(np.mean((a - b) ** 2)))
 
 
+def code_novelty(gen_grids: np.ndarray, data_grids: np.ndarray,
+                 data_mask: np.ndarray | None = None) -> Dict[str, float]:
+    """Memorize-vs-recombine detector in code space.
+
+    A prior selected on TRAIN CE (PriorTrainConfig.select="train") is allowed
+    to fit a memorization-scale corpus; these fractions say what it does with
+    that fit when sampling. ``gen_grids`` (B, N, S) int32 sampled grids,
+    ``data_grids`` (M, L, S) the training grids with optional (M, L) mask.
+
+    - position_novel_frac: fraction of sampled positions whose full S-token
+      tuple never occurs in the data (0 = every sampled window is a data
+      window; high = decoding windows the tokenizer never produced).
+    - bigram_novel_frac: fraction of adjacent sampled position PAIRS not
+      occurring adjacently in the data. The recombination signal: novel
+      bigrams over known positions = stitching familiar windows into new
+      motion; bigram novelty ~ position novelty = no real recombination.
+    """
+    def _tuples(grids, mask):
+        out = []
+        for i in range(grids.shape[0]):
+            n = int(mask[i].sum()) if mask is not None else grids.shape[1]
+            out.append([tuple(int(t) for t in grids[i, j])
+                        for j in range(n)])
+        return out
+
+    data_rows = _tuples(np.asarray(data_grids), data_mask)
+    data_pos = set(t for row in data_rows for t in row)
+    data_bi = set((row[j], row[j + 1]) for row in data_rows
+                  for j in range(len(row) - 1))
+    gen_rows = _tuples(np.asarray(gen_grids), None)
+    n_pos = sum(len(r) for r in gen_rows)
+    n_bi = sum(max(len(r) - 1, 0) for r in gen_rows)
+    novel_pos = sum(t not in data_pos for r in gen_rows for t in r)
+    novel_bi = sum((r[j], r[j + 1]) not in data_bi
+                   for r in gen_rows for j in range(len(r) - 1))
+    return {
+        "position_novel_frac": novel_pos / max(n_pos, 1),
+        "bigram_novel_frac": novel_bi / max(n_bi, 1),
+    }
+
+
+def nearest_data_distance(gen_windows: np.ndarray,
+                          data_windows: np.ndarray,
+                          chunk: int = 2048) -> Dict[str, float]:
+    """Motion-space novelty: per sampled window, MSE to its nearest data
+    window (both (…, W, D), flattened per window). 0 = verbatim copy of a
+    data window; the data's own scale is the per-window variance. Returns the
+    mean/min/max over all sampled windows.
+    """
+    g = np.asarray(gen_windows, np.float32).reshape(-1, np.prod(gen_windows.shape[-2:]))
+    d = np.asarray(data_windows, np.float32).reshape(-1, g.shape[1])
+    g2 = np.sum(g ** 2, axis=1)[:, None]
+    best = np.full(g.shape[0], np.inf, np.float32)
+    for i in range(0, d.shape[0], chunk):
+        dc = d[i:i + chunk]
+        # ||g - d||^2 = g2 - 2 g.d + d2, per pair
+        dist = g2 - 2.0 * g @ dc.T + np.sum(dc ** 2, axis=1)[None, :]
+        best = np.minimum(best, dist.min(axis=1))
+    best = np.maximum(best, 0.0) / g.shape[1]   # -> per-element MSE
+    return {
+        "nn_mse_mean": float(best.mean()),
+        "nn_mse_min": float(best.min()),
+        "nn_mse_max": float(best.max()),
+    }
+
+
 def format_report(rep: Dict[str, float]) -> str:
     lines = [
         "generation vs data statistics:",

@@ -151,6 +151,14 @@ class PriorTrainConfig:
     patience: int = 30
     seed: int = 42
     compute_dtype: str = "float32"
+    # which metric picks the returned weights (and drives early stopping):
+    # "val"   — grouped-val CE: the generalization-faithful choice, but on a
+    #           memorization-scale corpus (tens of takes) val CE rises from
+    #           epoch 0 and this returns a near-init prior (docs/ROUND3.md);
+    # "train" — train CE: the generative-fitting choice; the prior is allowed
+    #           to fit the corpus and eval/generation novelty metrics guard
+    #           against verbatim copying. Val CE is still logged either way.
+    select: str = "val"
 
 
 def train_prior(
@@ -173,6 +181,8 @@ def train_prior(
     if bool(pcfg.class_names) != (class_ids is not None):
         raise ValueError("class_ids must be given exactly when "
                          "pcfg.class_names is set")
+    if tcfg.select not in ("val", "train"):
+        raise ValueError(f"select must be 'val' or 'train', got {tcfg.select}")
     n = grids.shape[0]
     rng = np.random.default_rng(tcfg.seed)
     if seq_ids is not None:
@@ -258,8 +268,9 @@ def train_prior(
         vl = float(eval_fn(params)) if n_val else float(tr)
         history["train_loss"].append(float(tr))
         history["val_loss"].append(vl)
-        if vl < best - 1e-6:
-            best, best_params, patience = vl, jax.device_get(params), 0
+        monitored = vl if tcfg.select == "val" else float(tr)
+        if monitored < best - 1e-6:
+            best, best_params, patience = monitored, jax.device_get(params), 0
         else:
             patience += 1
         if verbose and (ep % 10 == 0 or ep == tcfg.epochs - 1):
@@ -387,7 +398,7 @@ def sample_motion(
     n_positions: int = 32, temperature: float = 1.0,
     top_k: Optional[int] = None, seed: int = 0,
     class_ids: Optional[np.ndarray] = None,
-    return_windows: bool = False,
+    return_windows: bool = False, return_grid: bool = False,
 ):
     """Sample new token grids and decode them to raw robot motions.
 
@@ -395,7 +406,10 @@ def sample_motion(
     T = stride*(n_positions-1) + W. ``class_ids`` (n_samples,) selects the
     action per sample for a conditioned prior. With ``return_windows`` also
     returns the pre-stitch decoded windows (n_samples, N, W, D) — the input
-    eval/generation.overlap_disagreement diagnoses sampling coherence on.
+    eval/generation.overlap_disagreement diagnoses sampling coherence on;
+    with ``return_grid`` also the sampled normalized code grid
+    (n_samples, N, S) int32 — the input eval/generation.code_novelty scores
+    memorize-vs-recombine on.
     """
     pcfg = prior_model.cfg
     grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
@@ -411,6 +425,11 @@ def sample_motion(
     W = pcfg.window
     wins = wins.reshape(n_samples, n_positions, W, -1)
     motions = [stitch_windows(w, pcfg.stride) for w in wins]
+    extras = []
     if return_windows:
-        return motions, wins
+        extras.append(wins)
+    if return_grid:
+        extras.append(np.asarray(grid, np.int32))
+    if extras:
+        return (motions, *extras)
     return motions

@@ -40,6 +40,12 @@ def main():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--arms", default="fact,ar,ar_ph4",
                    help="comma list from {fact, ar, ar_ph4, fact_ph4}")
+    p.add_argument("--select", default="train", choices=["train", "val"],
+                   help="checkpoint selection metric. 'val' (grouped-val CE) "
+                   "returns a near-init prior on this memorization-scale "
+                   "corpus (val CE rises from epoch 0 — measured, "
+                   "docs/ROUND3.md); 'train' fits the corpus and the novelty "
+                   "metrics guard against verbatim copying")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -49,8 +55,10 @@ def main():
     import numpy as np
 
     from bridgerl_tpu.eval.generation import (
+        code_novelty,
         compare_to_data,
         format_report,
+        nearest_data_distance,
         overlap_disagreement,
     )
     from bridgerl_tpu.export.motion_export import load_model_from_checkpoint
@@ -97,14 +105,25 @@ def main():
         wins = model.apply(variables, z_q, method="decode_latent")
         return np.asarray(wins, np.float32).reshape(n_pos, W, -1)
 
-    ceil_motions, ceil_dis = [], []
+    ceil_motions, ceil_dis, ceil_wins = [], [], []
     for i in range(min(8, grids1.shape[0])):
         n_pos = int(mask1[i].sum())
         wins = decode_grid(grids1[i], n_pos)
         ceil_motions.append(stitch_windows(wins, args.stride))
         ceil_dis.append(overlap_disagreement(wins, args.stride))
+        ceil_wins.append(wins)
     ceiling = compare_to_data(ceil_motions, seqs)
     ceiling["overlap_disagreement"] = float(np.mean(ceil_dis))
+
+    # raw data windows on the stride grid: the novelty yardstick
+    data_wins = np.concatenate([
+        np.stack([np.asarray(s, np.float32)[i:i + W]
+                  for i in range(0, s.shape[0] - W + 1, args.stride)])
+        for s in seqs if np.asarray(s).shape[0] >= W])
+    # nn_mse floor: decoded DATA windows vs raw data = pure recon error, the
+    # value a verbatim-copying prior would score (novelty must clear it)
+    ceiling.update(nearest_data_distance(
+        np.concatenate(ceil_wins), data_wins))
     print("[CEILING] data codes -> decode+stitch:", flush=True)
     print(format_report(ceiling), flush=True)
     print(f"  overlap disagreement RMS {ceiling['overlap_disagreement']:.4f}",
@@ -127,7 +146,8 @@ def main():
             grids, mask, pcfg, ids = tokenize(spec["phases"])
         pcfg = dataclasses.replace(pcfg, slot_ar=spec["slot_ar"])
         tcfg = PriorTrainConfig(epochs=args.epochs, patience=args.patience,
-                                batch_size=args.batch_size, seed=args.seed)
+                                batch_size=args.batch_size, seed=args.seed,
+                                select=args.select)
         print(f"=== arm {arm}: {grids.shape[0]} grids, slot_ar="
               f"{spec['slot_ar']} ===", flush=True)
         best_vars, history = train_prior(grids, mask, pcfg, tcfg,
@@ -137,24 +157,31 @@ def main():
 
         from bridgerl_tpu.train.prior import load_prior_checkpoint
         prior_model, prior_vars, _ = load_prior_checkpoint(str(ck))
-        motions, windows = sample_motion(
+        motions, windows, gen_grid = sample_motion(
             model, variables, exp, prior_model, prior_vars, mean, std,
             n_samples=args.n_samples, n_positions=args.positions,
             temperature=args.temperature, seed=args.seed,
-            return_windows=True)
+            return_windows=True, return_grid=True)
         rep = compare_to_data(motions, seqs)
         rep["overlap_disagreement"] = float(np.mean(
             [overlap_disagreement(w, args.stride) for w in windows]))
+        rep.update(code_novelty(gen_grid, grids, mask))
+        rep.update(nearest_data_distance(windows, data_wins))
         rep["best_val_ce"] = float(min(history["val_loss"]))
+        rep["best_train_ce"] = float(min(history["train_loss"]))
         rep["epochs_run"] = len(history["val_loss"])
         rep["train_s"] = round(time.time() - t0, 1)
         summary["arms"][arm] = rep
         for i, m in enumerate(motions):
             np.save(out / f"gen_{arm}_idx{i}.npy", m)
-        print(f"[ARM {arm}] val CE {rep['best_val_ce']:.3f} | "
+        print(f"[ARM {arm}] train CE {rep['best_train_ce']:.3f} "
+              f"val CE {rep['best_val_ce']:.3f} | "
               f"vel ratio {rep['vel_ratio']:.3f} | "
               f"coverage {rep['range_coverage_mean']:.2f} | "
               f"overlap dis {rep['overlap_disagreement']:.4f} | "
+              f"novel pos {rep['position_novel_frac']:.2f} "
+              f"bigram {rep['bigram_novel_frac']:.2f} | "
+              f"nn_mse {rep['nn_mse_mean']:.4f} | "
               f"{rep['train_s']}s", flush=True)
 
     (out / "summary.json").write_text(json.dumps(summary, indent=1))

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Sampling-hyperparameter sweep over trained motion-token priors.
+
+Retraining-free follow-on to scripts/exp_prior_ar.py: load the teacher + the
+saved prior checkpoints, sweep temperature x top_k on the SAME generation
+protocol (n samples, positions, seed), and score each point with the
+generation statistics (vel/jerk RMS ratios, range coverage, static fraction)
+plus the adjacent-window overlap-disagreement RMS. The decode+stitch ceiling
+from exp_prior_ar bounds every point; sampling knobs only move where the
+prior puts its probability mass, so this isolates "bad sampling" from "bad
+prior" — the factorization A/B changes the prior, this sweep changes only
+the draw.
+
+    python scripts/exp_prior_sampling.py \
+        --ckpt abruns/k4/checkpoints/..._best.ckpt \
+        --priors abruns/prior_ar/prior_ar.ckpt \
+        --temperatures 0.8,0.9,1.0 --top_ks 0,8,32
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", required=True, help="VQ-VAE teacher checkpoint")
+    p.add_argument("--priors", required=True,
+                   help="comma list of prior checkpoints")
+    p.add_argument("--data_dir", default="data/dense_w64")
+    p.add_argument("--out", default="abruns/prior_ar/sampling_sweep.json")
+    p.add_argument("--temperatures", default="0.8,0.9,1.0")
+    p.add_argument("--top_ks", default="0,8,32",
+                   help="0 = no top-k truncation")
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--positions", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    from bridgerl_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import numpy as np
+
+    from bridgerl_tpu.eval.generation import (
+        compare_to_data,
+        overlap_disagreement,
+    )
+    from bridgerl_tpu.export.motion_export import load_model_from_checkpoint
+    from bridgerl_tpu.train.prior import load_prior_checkpoint, sample_motion
+
+    model, variables, exp = load_model_from_checkpoint(args.ckpt)
+    mean = np.zeros(1, np.float32)  # raw pipeline (training distribution)
+    std = np.ones(1, np.float32)
+    seqs = list(np.load(Path(args.data_dir) / "g1_train_full_raw.npy",
+                        allow_pickle=True))
+    temps = [float(t) for t in args.temperatures.split(",")]
+    top_ks = [int(k) for k in args.top_ks.split(",")]
+
+    sweep = {}
+    for prior_path in args.priors.split(","):
+        prior_model, prior_vars, _ = load_prior_checkpoint(prior_path)
+        name = Path(prior_path).stem
+        for temp in temps:
+            for tk in top_ks:
+                t0 = time.time()
+                motions, windows = sample_motion(
+                    model, variables, exp, prior_model, prior_vars,
+                    mean, std, n_samples=args.n_samples,
+                    n_positions=args.positions, temperature=temp,
+                    top_k=(tk or None), seed=args.seed,
+                    return_windows=True)
+                rep = compare_to_data(motions, seqs)
+                rep["overlap_disagreement"] = float(np.mean(
+                    [overlap_disagreement(w, prior_model.cfg.stride)
+                     for w in windows]))
+                rep["sample_s"] = round(time.time() - t0, 1)
+                key = f"{name}|T{temp}|k{tk}"
+                sweep[key] = rep
+                print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
+                      f"jerk {rep['jerk_ratio']:.3f} | "
+                      f"cov {rep['range_coverage_mean']:.2f} | "
+                      f"overlap {rep['overlap_disagreement']:.4f}",
+                      flush=True)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(sweep, indent=1))
+    print(f"[INFO] sweep -> {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,11 @@ def main():
     p.add_argument("--depth_layers", type=int, default=2,
                    help="depth-transformer layers (slot_ar only)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--select", default="val", choices=["val", "train"],
+                   help="checkpoint-selection metric: 'val' = grouped-val CE "
+                   "(generalization-faithful, but returns a near-init prior "
+                   "when the corpus is memorization-scale); 'train' = train "
+                   "CE (generative fitting; check eval/generation novelty)")
     p.add_argument("--prng", default="threefry2x32",
                    choices=["threefry2x32", "rbg", "unsafe_rbg"])
     p.add_argument("--labeled_dir", default=None,
@@ -133,7 +138,7 @@ def main():
     tcfg = PriorTrainConfig(
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, patience=args.patience,
-        seed=args.seed,
+        seed=args.seed, select=args.select,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     best_vars, history = train_prior(grids, mask, pcfg, tcfg,
                                      class_ids=class_ids, seq_ids=seq_ids)

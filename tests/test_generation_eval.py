@@ -72,3 +72,50 @@ def test_overlap_disagreement_measures_incoherence():
     # no overlap -> vacuously coherent
     assert overlap_disagreement(wins, 10) == 0.0
     assert overlap_disagreement(wins[:1], 4) == 0.0
+
+
+def test_code_novelty_verbatim_vs_recombined_vs_random():
+    from bridgerl_tpu.eval.generation import code_novelty
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 50, size=(6, 12, 3)).astype(np.int32)
+    mask = np.ones((6, 12), np.float32)
+    # verbatim copy: zero novelty at both orders
+    rep = code_novelty(data[:2].copy(), data, mask)
+    assert rep["position_novel_frac"] == 0.0
+    assert rep["bigram_novel_frac"] == 0.0
+    # recombination: known positions stitched in a new order -> positions
+    # stay known, bigrams become novel
+    flat = data.reshape(-1, 3)
+    shuffled = flat[rng.permutation(flat.shape[0])][:24].reshape(2, 12, 3)
+    rep = code_novelty(shuffled, data, mask)
+    assert rep["position_novel_frac"] == 0.0
+    assert rep["bigram_novel_frac"] > 0.5
+    # off-distribution codes: novel at both orders
+    rep = code_novelty(data[:2] + 1000, data, mask)
+    assert rep["position_novel_frac"] == 1.0
+    assert rep["bigram_novel_frac"] == 1.0
+
+
+def test_code_novelty_respects_mask():
+    from bridgerl_tpu.eval.generation import code_novelty
+
+    data = np.zeros((1, 4, 2), np.int32)
+    data[0, :2] = [[1, 1], [2, 2]]          # only first 2 positions real
+    mask = np.array([[1.0, 1.0, 0.0, 0.0]], np.float32)
+    gen = np.array([[[0, 0], [0, 0]]], np.int32)   # = the PADDING rows
+    rep = code_novelty(gen, data, mask)
+    assert rep["position_novel_frac"] == 1.0   # padding isn't data
+
+
+def test_nearest_data_distance_floor_and_scale():
+    from bridgerl_tpu.eval.generation import nearest_data_distance
+
+    rng = np.random.default_rng(6)
+    data = rng.normal(size=(40, 8, 5)).astype(np.float32)
+    rep = nearest_data_distance(data[:4].copy(), data, chunk=7)
+    assert rep["nn_mse_mean"] < 1e-9           # verbatim -> 0
+    shifted = data[:4] + 0.5
+    rep = nearest_data_distance(shifted, data, chunk=7)
+    assert 0.05 < rep["nn_mse_mean"] <= 0.5    # offset^2 = 0.25 upper bound
+    assert rep["nn_mse_min"] <= rep["nn_mse_mean"] <= rep["nn_mse_max"]

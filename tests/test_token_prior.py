@@ -400,3 +400,49 @@ def test_grouped_split_keeps_takes_together():
     with pytest.raises(ValueError, match="seq_ids"):
         train_prior(grids, mask, TINY, tcfg, verbose=False,
                     seq_ids=seq_ids[:3])
+
+
+def test_select_train_survives_rising_val():
+    """A corpus whose val takes are unpredictable from train takes: 'val'
+    selection early-stops near init, 'train' selection keeps fitting.
+
+    This pins the memorization-scale protocol fix (docs/ROUND3.md): grouped
+    val CE rises from epoch ~0, so select='val' returns a near-init prior
+    while select='train' returns the corpus fit the generation path needs.
+    """
+    rng = np.random.default_rng(7)
+    # per-take constant token pairs: each take trivially learnable, takes
+    # mutually unpredictive -> held-out takes give rising val CE
+    grids = np.stack([np.full((8, 2), rng.integers(0, 5, 2), np.int32)
+                      for _ in range(12)])
+    mask = np.ones((12, 8), np.float32)
+    seq_ids = np.arange(12, dtype=np.int32)
+    common = dict(epochs=60, batch_size=4, lr=3e-3, patience=10,
+                  val_fraction=0.25, seed=0)
+    tv = PriorTrainConfig(select="val", **common)
+    vav, hv = train_prior(grids, mask, TINY, tv, seq_ids=seq_ids,
+                          verbose=False)
+    tt = PriorTrainConfig(select="train", **common)
+    vat, ht = train_prior(grids, mask, TINY, tt, seq_ids=seq_ids,
+                          verbose=False)
+    # train CE keeps falling -> train-selected run never early-stops
+    assert len(ht["train_loss"]) == 60
+    assert min(ht["train_loss"]) < 0.5 * ht["train_loss"][0]
+    # val-selected run early-stops once held-out takes stop improving,
+    # long before the train fit is done
+    assert len(hv["val_loss"]) < 60
+    # and the two selections return measurably different weights
+    import jax
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        vav["params"], vat["params"])
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-3
+
+
+def test_select_rejects_unknown():
+    tcfg = PriorTrainConfig(select="best", epochs=1)
+    grids = np.zeros((4, 8, 2), np.int32)
+    mask = np.ones((4, 8), np.float32)
+    import pytest
+    with pytest.raises(ValueError, match="select"):
+        train_prior(grids, mask, TINY, tcfg, verbose=False)
