@@ -181,7 +181,8 @@ def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
 def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
                  batch: int, length: int, temperature: float = 1.0,
                  top_k: Optional[int] = None,
-                 class_ids: Optional[jax.Array] = None) -> jax.Array:
+                 class_ids: Optional[jax.Array] = None,
+                 prompt: Optional[jax.Array] = None) -> jax.Array:
     """Autoregressively sample (batch, length, S) normalized code grids.
 
     One jitted program: `lax.fori_loop` over positions, each step running the
@@ -191,10 +192,30 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
     per slot within the position so each slot conditions on the ones already
     sampled (S small — the depth loop unrolls). ``class_ids`` (batch,)
     selects the action for a class-conditioned prior.
+
+    ``prompt`` (batch, P, S) or (P, S) seeds the first P positions with real
+    tokens and samples only positions P..length-1 — prompted continuation.
+    Free-running rollout from BOS compounds its own early errors (exposure
+    bias: measured 100%-novel position tuples at every temperature/top-k on
+    the memorization-scale corpus, abruns/prior_ar); anchoring the context on
+    a data prefix is the standard mitigation and doubles as the motion-
+    continuation API.
     """
     S = len(model.cfg.vocab_sizes)
     if length > model.cfg.max_len:
         raise ValueError(f"length {length} > max_len {model.cfg.max_len}")
+    n_prompt = 0
+    if prompt is not None:
+        prompt = jnp.asarray(prompt, jnp.int32)
+        if prompt.ndim == 2:
+            prompt = jnp.broadcast_to(prompt[None], (batch, *prompt.shape))
+        if prompt.shape[0] != batch or prompt.shape[2] != S:
+            raise ValueError(f"prompt shape {prompt.shape} incompatible with "
+                             f"(batch={batch}, ..., S={S})")
+        n_prompt = int(prompt.shape[1])
+        if n_prompt >= length:
+            raise ValueError(f"prompt length {n_prompt} >= sample length "
+                             f"{length}: nothing to generate")
 
     def sample_slot(grid, logits, t, s, key):
         lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
@@ -222,7 +243,9 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
         return grid, rng
 
     grid0 = jnp.zeros((batch, length, S), jnp.int32)
-    grid, _ = jax.lax.fori_loop(0, length, step, (grid0, rng))
+    if n_prompt:
+        grid0 = grid0.at[:, :n_prompt].set(prompt)
+    grid, _ = jax.lax.fori_loop(n_prompt, length, step, (grid0, rng))
     return grid
 
 

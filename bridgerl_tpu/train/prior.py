@@ -398,6 +398,7 @@ def sample_motion(
     n_positions: int = 32, temperature: float = 1.0,
     top_k: Optional[int] = None, seed: int = 0,
     class_ids: Optional[np.ndarray] = None,
+    prompt: Optional[np.ndarray] = None,
     return_windows: bool = False, return_grid: bool = False,
 ):
     """Sample new token grids and decode them to raw robot motions.
@@ -409,12 +410,15 @@ def sample_motion(
     eval/generation.overlap_disagreement diagnoses sampling coherence on;
     with ``return_grid`` also the sampled normalized code grid
     (n_samples, N, S) int32 — the input eval/generation.code_novelty scores
-    memorize-vs-recombine on.
+    memorize-vs-recombine on. ``prompt`` ((P, S) or (n_samples, P, S)
+    NORMALIZED code grid, e.g. a prefix of extract_code_grids output) anchors
+    the rollout on real tokens: positions < P are kept, the rest sampled —
+    prompted motion continuation.
     """
     pcfg = prior_model.cfg
     grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
                         n_samples, n_positions, temperature=temperature,
-                        top_k=top_k,
+                        top_k=top_k, prompt=prompt,
                         class_ids=(jnp.asarray(class_ids, jnp.int32)
                                    if class_ids is not None else None))
     codes = grid_to_codes(pcfg, grid)                      # normalized

@@ -46,11 +46,17 @@ def main():
     import numpy as np
 
     from bridgerl_tpu.eval.generation import (
+        code_novelty,
         compare_to_data,
+        nearest_data_distance,
         overlap_disagreement,
     )
     from bridgerl_tpu.export.motion_export import load_model_from_checkpoint
-    from bridgerl_tpu.train.prior import load_prior_checkpoint, sample_motion
+    from bridgerl_tpu.train.prior import (
+        extract_code_grids,
+        load_prior_checkpoint,
+        sample_motion,
+    )
 
     model, variables, exp = load_model_from_checkpoint(args.ckpt)
     mean = np.zeros(1, np.float32)  # raw pipeline (training distribution)
@@ -61,29 +67,46 @@ def main():
     top_ks = [int(k) for k in args.top_ks.split(",")]
 
     sweep = {}
+    data_grids = data_mask = data_wins = None
     for prior_path in args.priors.split(","):
         prior_model, prior_vars, _ = load_prior_checkpoint(prior_path)
         name = Path(prior_path).stem
+        stride = prior_model.cfg.stride
+        if data_grids is None:
+            # novelty yardsticks (phase-0 stride grid, same for every prior
+            # trained on this teacher/stride)
+            W = exp.model.window_size
+            data_grids, data_mask, _, _ = extract_code_grids(
+                model, variables, exp, seqs, mean, std, stride,
+                max_len=prior_model.cfg.max_len)
+            data_wins = np.concatenate([
+                np.stack([np.asarray(s, np.float32)[i:i + W]
+                          for i in range(0, s.shape[0] - W + 1, stride)])
+                for s in seqs if np.asarray(s).shape[0] >= W])
         for temp in temps:
             for tk in top_ks:
                 t0 = time.time()
-                motions, windows = sample_motion(
+                motions, windows, grid = sample_motion(
                     model, variables, exp, prior_model, prior_vars,
                     mean, std, n_samples=args.n_samples,
                     n_positions=args.positions, temperature=temp,
                     top_k=(tk or None), seed=args.seed,
-                    return_windows=True)
+                    return_windows=True, return_grid=True)
                 rep = compare_to_data(motions, seqs)
                 rep["overlap_disagreement"] = float(np.mean(
-                    [overlap_disagreement(w, prior_model.cfg.stride)
-                     for w in windows]))
+                    [overlap_disagreement(w, stride) for w in windows]))
+                rep.update(code_novelty(grid, data_grids, data_mask))
+                rep.update(nearest_data_distance(windows, data_wins))
                 rep["sample_s"] = round(time.time() - t0, 1)
                 key = f"{name}|T{temp}|k{tk}"
                 sweep[key] = rep
                 print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
                       f"jerk {rep['jerk_ratio']:.3f} | "
                       f"cov {rep['range_coverage_mean']:.2f} | "
-                      f"overlap {rep['overlap_disagreement']:.4f}",
+                      f"overlap {rep['overlap_disagreement']:.4f} | "
+                      f"novel pos {rep['position_novel_frac']:.2f} "
+                      f"bigram {rep['bigram_novel_frac']:.2f} | "
+                      f"nn_mse {rep['nn_mse_mean']:.4f}",
                       flush=True)
 
     out = Path(args.out)

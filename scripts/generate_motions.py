@@ -39,6 +39,13 @@ def main():
     p.add_argument("--action", default=None,
                    help="action class for a conditioned prior (see the "
                         "checkpoint's class_names); all samples use it")
+    p.add_argument("--prompt_take", type=int, default=None,
+                   help="prompted continuation: tokenize this full_raw take "
+                        "and anchor each sample's first --prompt_positions "
+                        "positions on its real tokens (exposure-bias "
+                        "mitigation; also the motion-continuation API)")
+    p.add_argument("--prompt_positions", type=int, default=8,
+                   help="prompt length in positions (with --prompt_take)")
     p.add_argument("--ref_normalize", action="store_true",
                    help="treat decoder output as normalized, like the "
                         "reference deployment (must match the prior's "
@@ -77,11 +84,32 @@ def main():
     elif args.action is not None:
         raise SystemExit("--action given but the prior is unconditioned")
 
+    prompt = None
+    if args.prompt_take is not None:
+        from bridgerl_tpu.train.prior import extract_code_grids
+        full_raw = Path(args.data_dir) / "g1_train_full_raw.npy"
+        seqs = list(np.load(full_raw, allow_pickle=True))
+        if not 0 <= args.prompt_take < len(seqs):
+            raise SystemExit(f"--prompt_take {args.prompt_take} outside "
+                             f"[0, {len(seqs)})")
+        grids, gmask, gp, _ = extract_code_grids(
+            vq_model, vq_vars, exp, [seqs[args.prompt_take]], mean, std,
+            pcfg.stride, max_len=pcfg.max_len)
+        avail = int(gmask[0].sum())
+        if args.prompt_positions >= args.positions:
+            raise SystemExit("--prompt_positions must be < --positions")
+        if avail < args.prompt_positions:
+            raise SystemExit(f"take {args.prompt_take} has only {avail} "
+                             f"positions (< {args.prompt_positions})")
+        prompt = grids[0, :args.prompt_positions]
+        print(f"[INFO] prompting on take {args.prompt_take}: "
+              f"{args.prompt_positions}/{args.positions} positions anchored")
+
     motions, windows = sample_motion(
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
         temperature=args.temperature, top_k=args.top_k, seed=args.seed,
-        class_ids=class_ids, return_windows=True)
+        class_ids=class_ids, prompt=prompt, return_windows=True)
 
     if args.eval:
         from bridgerl_tpu.eval.generation import (
@@ -101,6 +129,8 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
     for i, m in enumerate(motions):
         tag = f"_{args.action}" if args.action else ""
+        if args.prompt_take is not None:
+            tag += f"_p{args.prompt_take}x{args.prompt_positions}"
         path = out_dir / (f"gen_{exp.id}{tag}_N{args.positions}"
                           f"_T{args.temperature:g}_seed{args.seed}_idx{i}.npy")
         np.save(path, m)

@@ -446,3 +446,52 @@ def test_select_rejects_unknown():
     import pytest
     with pytest.raises(ValueError, match="select"):
         train_prior(grids, mask, TINY, tcfg, verbose=False)
+
+
+def test_prompted_sampling_keeps_prompt_and_continues():
+    model, variables = _tiny_model()
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, 5, size=(3, 2)).astype(np.int32)  # (P, S)
+    g = np.asarray(sample_grids(model, variables, jax.random.key(7),
+                                batch=4, length=8, prompt=prompt))
+    assert g.shape == (4, 8, 2)
+    # prompt broadcast to every sample, preserved verbatim
+    for b in range(4):
+        np.testing.assert_array_equal(g[b, :3], prompt)
+    # vocab bounds hold on the generated suffix
+    assert g[..., 0].max() < 7 and g[..., 1].max() < 5
+    # per-sample prompts also work
+    pb = rng.integers(0, 5, size=(4, 3, 2)).astype(np.int32)
+    g2 = np.asarray(sample_grids(model, variables, jax.random.key(7),
+                                 batch=4, length=8, prompt=pb))
+    np.testing.assert_array_equal(g2[:, :3], pb)
+    # a different prompt changes the continuation (same key)
+    assert not np.array_equal(g[:, 3:], g2[:, 3:])
+
+
+def test_prompted_sampling_validates():
+    model, variables = _tiny_model()
+    ok = np.zeros((2, 2), np.int32)
+    with pytest.raises(ValueError, match="nothing to generate"):
+        sample_grids(model, variables, jax.random.key(0), 1, 2,
+                     prompt=ok)
+    with pytest.raises(ValueError, match="incompatible"):
+        sample_grids(model, variables, jax.random.key(0), 2, 6,
+                     prompt=np.zeros((3, 2, 2), np.int32))
+    with pytest.raises(ValueError, match="incompatible"):
+        sample_grids(model, variables, jax.random.key(0), 1, 6,
+                     prompt=np.zeros((1, 2, 3), np.int32))
+
+
+def test_prompted_sampling_slot_ar():
+    cfg = dataclasses.replace(TINY, slot_ar=True)
+    model = MotionTokenPrior(cfg)
+    variables = model.init({"params": jax.random.key(0),
+                            "dropout": jax.random.key(1)},
+                           jnp.zeros((1, 8, 2), jnp.int32), train=False)
+    prompt = np.array([[1, 2], [3, 4]], np.int32)
+    g = np.asarray(sample_grids(model, variables, jax.random.key(3),
+                                batch=2, length=6, prompt=prompt))
+    np.testing.assert_array_equal(g[0, :2], prompt)
+    np.testing.assert_array_equal(g[1, :2], prompt)
+    assert g[..., 0].max() < 7 and g[..., 1].max() < 5
