@@ -76,6 +76,22 @@ def generate_synthetic_dataset(
     return save_artifacts(output_dir, robot_data, human_data, robot_raw)
 
 
+def synth_robot_takes(
+    n_sequences: int, min_len: int, max_len: int, seed: int
+) -> List[np.ndarray]:
+    """Fresh raw robot takes from the same distribution as the pinned corpus
+    (each take mixes its own random oscillator bank — a novel linear
+    subspace, same distribution class). Used by the prior corpus-scaling
+    experiment to grow the take pool beyond the pinned 64 without touching
+    the pinned dataset (seed them differently!)."""
+    rng = np.random.default_rng(seed)
+    takes: List[np.ndarray] = []
+    for _ in range(n_sequences):
+        T = int(rng.integers(min_len, max_len + 1))
+        takes.append(synth_pair(rng, T)[0])
+    return takes
+
+
 def synthetic_npz_tree(root: str, n_files: int = 4, T: int = 200, seed: int = 0) -> str:
     """Create a raw npz directory tree shaped like the ModelScope download
     (train subdir with 'joint_pos' + 'smplx_pose_body' keys) — the schema

@@ -156,6 +156,39 @@ def nearest_data_distance(gen_windows: np.ndarray,
     }
 
 
+def continuation_curves(cont_windows: np.ndarray,
+                        true_windows: np.ndarray,
+                        data_windows: np.ndarray,
+                        offsets: Sequence[int] = (0, 1, 2, 3, 7, 15, 31),
+                        ) -> Dict[str, list]:
+    """Per-offset error-compounding curves for prompted continuation.
+
+    ``cont_windows`` (n, N, W, D) are the generated continuation windows
+    (position >= prompt length), ``true_windows`` the take's TRUE
+    continuation decoded through the same tokenizer (aligned shapes), and
+    ``data_windows`` the nearest-neighbour bank. Returns, per probed offset:
+    nn_mse (distance to the data manifold — does the rollout stay
+    on-distribution?) and truth_mse (divergence from the real take — small at
+    offset 0 + growing = anchored-but-novel; flat-high = never anchored;
+    ~0 everywhere = verbatim copy). The final offset is always probed.
+    """
+    cont = np.asarray(cont_windows, np.float32)
+    true = np.asarray(true_windows, np.float32)
+    if cont.shape != true.shape:
+        raise ValueError(f"cont {cont.shape} != true {true.shape}")
+    n_off = cont.shape[1]
+    probe = sorted(({int(o) for o in offsets} | {n_off - 1}) &
+                   set(range(n_off)))
+    return {
+        "offsets": probe,
+        "nn_mse_by_offset": [
+            nearest_data_distance(cont[:, j], data_windows)["nn_mse_mean"]
+            for j in probe],
+        "truth_mse_by_offset": [
+            float(np.mean((cont[:, j] - true[:, j]) ** 2)) for j in probe],
+    }
+
+
 def format_report(rep: Dict[str, float]) -> str:
     lines = [
         "generation vs data statistics:",

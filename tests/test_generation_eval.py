@@ -119,3 +119,40 @@ def test_nearest_data_distance_floor_and_scale():
     rep = nearest_data_distance(shifted, data, chunk=7)
     assert 0.05 < rep["nn_mse_mean"] <= 0.5    # offset^2 = 0.25 upper bound
     assert rep["nn_mse_min"] <= rep["nn_mse_mean"] <= rep["nn_mse_max"]
+
+
+def test_continuation_curves_shapes_and_semantics():
+    from bridgerl_tpu.eval.generation import continuation_curves
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(50, 6, 4)).astype(np.float32)
+    true = np.stack([data[:5], data[5:10]])          # (2, 5, 6, 4)
+    # continuation = truth at offset 0, drifting linearly afterwards
+    drift = np.arange(5, dtype=np.float32)[None, :, None, None] * 0.3
+    cont = true + drift
+    rep = continuation_curves(cont, true, data, offsets=(0, 1, 3))
+    assert rep["offsets"] == [0, 1, 3, 4]            # final always probed
+    assert rep["truth_mse_by_offset"][0] < 1e-6      # anchored at the seam
+    t = rep["truth_mse_by_offset"]
+    assert t[0] < t[1] < t[2] < t[3]                 # compounding drift
+    assert rep["nn_mse_by_offset"][0] < 1e-6         # offset 0 IS a data row
+    # mismatched shapes must be rejected
+    import pytest
+    with pytest.raises(ValueError):
+        continuation_curves(cont[:, :3], true, data)
+
+
+def test_synth_robot_takes_distribution_contract():
+    from bridgerl_tpu.data.synthetic import G1_DOF, synth_robot_takes
+
+    takes = synth_robot_takes(3, 50, 80, seed=5)
+    assert len(takes) == 3
+    for t in takes:
+        assert t.dtype == np.float32
+        assert t.shape[1] == G1_DOF
+        assert 50 <= t.shape[0] <= 80
+    # deterministic in the seed, different across seeds
+    again = synth_robot_takes(3, 50, 80, seed=5)
+    assert all(np.array_equal(a, b) for a, b in zip(takes, again))
+    other = synth_robot_takes(3, 50, 80, seed=6)
+    assert not np.array_equal(takes[0][:50], other[0][:50])
