@@ -61,6 +61,11 @@ def main():
     p.add_argument("--positions", type=int, default=64)
     p.add_argument("--prompt_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--select", default="train", choices=["train", "val"],
+                   help="prior checkpoint selection: 'train' fits the corpus "
+                        "(generative regime), 'val' early-stops on grouped-val "
+                        "CE (generalization regime — the follow-up arm for "
+                        "held-out continuation once val CE dips below uniform)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
 
@@ -140,7 +145,7 @@ def main():
 
         tcfg = PriorTrainConfig(epochs=args.epochs, patience=args.patience,
                                 batch_size=args.batch_size, seed=args.seed,
-                                select="train")
+                                select=args.select)
         best_vars, history = train_prior(grids, mask, pcfg, tcfg,
                                          seq_ids=ids, verbose=True)
         ck = out / f"prior_{arm}.ckpt"
