@@ -61,6 +61,14 @@ def main():
     p.add_argument("--positions", type=int, default=64)
     p.add_argument("--prompt_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--d_model", type=int, default=256,
+                   help="prior width (capacity sweep at fixed corpus)")
+    p.add_argument("--n_layers", type=int, default=4)
+    p.add_argument("--n_heads", type=int, default=4)
+    p.add_argument("--prior_dropout", type=float, default=0.1)
+    p.add_argument("--tag", default="",
+                   help="suffix for the arm key/ckpt (e.g. _d384L6) so "
+                        "capacity arms don't collide with take-count arms")
     p.add_argument("--select", default="train", choices=["train", "val"],
                    help="prior checkpoint selection: 'train' fits the corpus "
                         "(generative regime), 'val' early-stops on grouped-val "
@@ -130,7 +138,7 @@ def main():
                if results_path.exists() else {})
 
     for n_takes in arm_counts:
-        arm = f"takes{n_takes}"
+        arm = f"takes{n_takes}{args.tag}"
         if arm in results:
             print(f"[SKIP] {arm} already done", flush=True)
             continue
@@ -139,7 +147,10 @@ def main():
         grids, mask, pcfg, ids = extract_code_grids(
             model, variables, exp, seqs, mean, std, args.stride,
             max_len=args.max_len, phases=phases)
-        pcfg = dataclasses.replace(pcfg, slot_ar=True)
+        pcfg = dataclasses.replace(
+            pcfg, slot_ar=True, d_model=args.d_model,
+            ff_dim=2 * args.d_model, n_layers=args.n_layers,
+            n_heads=args.n_heads, dropout=args.prior_dropout)
         print(f"=== {arm}: {grids.shape[0]} grids, "
               f"{int(mask.sum())} positions ===", flush=True)
 
