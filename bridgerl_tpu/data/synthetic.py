@@ -92,6 +92,61 @@ def synth_robot_takes(
     return takes
 
 
+# Per-action latent frequency bands (cycles/frame), slow -> fast. The same
+# table scripts/gen_datasets.py uses for the pinned data/raw_actions fixtures
+# (disjoint-ish tempo bands mirror how distinct LAFAN actions differ in tempo;
+# the reference's dataset carries action names only in its filenames,
+# reference scripts/data/download_data.py + eval keyword matching).
+ACTION_BANDS = {
+    "walk": (0.010, 0.030),
+    "run": (0.050, 0.080),
+    "jump": (0.090, 0.130),
+    "dance": (0.030, 0.055),
+    "fight": (0.130, 0.170),
+    "sprint": (0.080, 0.110),
+    "fall": (0.005, 0.015),
+}
+
+
+def synth_labeled_takes(
+    n_per_action: int, min_len: int, max_len: int, seed: int,
+    actions: Tuple[str, ...] = tuple(ACTION_BANDS),
+) -> Tuple[List[np.ndarray], List[str]]:
+    """Long raw robot takes with action labels, at scale.
+
+    Same oscillator-mixture family as the pinned corpus (synth_pair) but each
+    take draws its latent frequencies from its action's band — the labeled
+    analogue of synth_robot_takes, for the conditioned-prior scaling study
+    (the pinned labeled fixtures are only 3 takes/action x 420 frames,
+    scripts/gen_datasets.gen_raw_actions). Growth is superset-monotone per
+    class: each action has its own child rng stream, so
+    synth_labeled_takes(k)[action] is a prefix of synth_labeled_takes(k')
+    for k < k' under the same seed.
+
+    Returns (takes, labels) with takes[i] a (T_i, 29) float32 array.
+    """
+    root = np.random.default_rng(seed)
+    streams = {a: np.random.default_rng(s)
+               for a, s in zip(actions, root.integers(0, 2**63, len(actions)))}
+    takes: List[np.ndarray] = []
+    labels: List[str] = []
+    for i in range(n_per_action):
+        for action in actions:
+            rng = streams[action]
+            lo, hi = ACTION_BANDS[action]
+            T = int(rng.integers(min_len, max_len + 1))
+            t = np.arange(T, dtype=np.float32)[:, None]
+            freqs = rng.uniform(lo, hi, size=(1, 4)).astype(np.float32)
+            phases = rng.uniform(0, 2 * np.pi, size=(1, 4)).astype(np.float32)
+            amps = rng.uniform(0.2, 1.0, size=(1, 4)).astype(np.float32)
+            latent = amps * np.sin(2 * np.pi * freqs * t + phases)
+            w_r = rng.normal(0, 0.6, size=(4, G1_DOF)).astype(np.float32)
+            noise = 0.05 * rng.normal(0, 1, size=(T, G1_DOF)).astype(np.float32)
+            takes.append((latent @ w_r + noise).astype(np.float32))
+            labels.append(action)
+    return takes, labels
+
+
 def synthetic_npz_tree(root: str, n_files: int = 4, T: int = 200, seed: int = 0) -> str:
     """Create a raw npz directory tree shaped like the ModelScope download
     (train subdir with 'joint_pos' + 'smplx_pose_body' keys) — the schema

@@ -131,6 +131,72 @@ def code_novelty(gen_grids: np.ndarray, data_grids: np.ndarray,
     }
 
 
+def slot_histograms(grids: np.ndarray, mask: np.ndarray | None,
+                    vocab_sizes) -> np.ndarray:
+    """Per-slot token frequency vectors, concatenated and L1-normalized
+    per slot: (sum(vocab_sizes),). The code-space signature of a motion
+    distribution — what the class-conditioned prior is supposed to move.
+    """
+    grids = np.asarray(grids)
+    S = grids.shape[-1]
+    if S != len(vocab_sizes):
+        raise ValueError(f"grids have {S} slots, vocab_sizes has "
+                         f"{len(vocab_sizes)}")
+    flat = grids.reshape(-1, S)
+    if mask is not None:
+        keep = np.asarray(mask, bool).reshape(-1)
+        flat = flat[keep]
+    parts = []
+    for s, v in enumerate(vocab_sizes):
+        h = np.bincount(flat[:, s], minlength=v).astype(np.float64)
+        parts.append(h / max(h.sum(), 1.0))
+    return np.concatenate(parts)
+
+
+def class_histogram_match(gen_grids: np.ndarray, gen_class_ids: np.ndarray,
+                          data_grids: np.ndarray, data_class_ids: np.ndarray,
+                          vocab_sizes,
+                          data_mask: np.ndarray | None = None) -> Dict:
+    """Does conditioned sampling move the CODE distribution per class?
+
+    Nearest-classes each sampled class's token histogram against the
+    per-class histograms of the (train) data, by total-variation distance —
+    the committed version of the round-3 "4/7 exact code-space match" readout
+    (motion space is confounded by decode smoothing, docs/ROUND3.md).
+    ``gen_grids`` (B, N, S) with ``gen_class_ids`` (B,); data side likewise
+    grouped by ``data_class_ids`` with optional (M, L) mask. Returns
+    accuracy over the sampled classes, the per-class prediction, and the
+    margin (runner-up distance minus winner — 0 means a coin flip).
+    """
+    gen_class_ids = np.asarray(gen_class_ids)
+    data_class_ids = np.asarray(data_class_ids)
+    data_hists = {}
+    for c in np.unique(data_class_ids):
+        rows = data_class_ids == c
+        data_hists[int(c)] = slot_histograms(
+            np.asarray(data_grids)[rows],
+            None if data_mask is None else np.asarray(data_mask)[rows],
+            vocab_sizes)
+    classes = sorted(data_hists)
+    predicted, margins = {}, {}
+    for c in np.unique(gen_class_ids):
+        h = slot_histograms(np.asarray(gen_grids)[gen_class_ids == c],
+                            None, vocab_sizes)
+        dists = np.asarray([0.5 * np.abs(h - data_hists[k]).sum()
+                            for k in classes])
+        order = np.argsort(dists)
+        predicted[int(c)] = int(classes[order[0]])
+        margins[int(c)] = float(dists[order[1]] - dists[order[0]]) \
+            if len(classes) > 1 else 0.0
+    hits = sum(predicted[c] == c for c in predicted)
+    return {
+        "accuracy": hits / max(len(predicted), 1),
+        "n_classes": len(predicted),
+        "predicted": predicted,
+        "margins": margins,
+    }
+
+
 def nearest_data_distance(gen_windows: np.ndarray,
                           data_windows: np.ndarray,
                           chunk: int = 2048) -> Dict[str, float]:

@@ -166,6 +166,7 @@ def train_prior(
     tcfg: PriorTrainConfig, verbose: bool = True,
     class_ids: Optional[np.ndarray] = None,
     seq_ids: Optional[np.ndarray] = None,
+    val_take_ids: Optional[Sequence[int]] = None,
 ) -> Tuple[Dict[str, Any], Dict[str, List[float]]]:
     """Returns (best variables, history). Whole epoch = one jitted scan.
 
@@ -174,7 +175,10 @@ def train_prior(
     groups grids by source take: when given, the 90/10 split is over TAKES,
     so chunked long takes and phase-augmented copies of one take never
     straddle train and val (otherwise near-duplicate grids leak and val CE
-    reads optimistic).
+    reads optimistic). ``val_take_ids`` (requires seq_ids) pins the val set
+    to exactly those takes instead of the seeded val_fraction draw — the
+    conditioned-prior study holds out one take PER CLASS so held-out class
+    accuracy is defined for every action (a fraction draw can miss classes).
     """
     import optax
 
@@ -183,16 +187,29 @@ def train_prior(
                          "pcfg.class_names is set")
     if tcfg.select not in ("val", "train"):
         raise ValueError(f"select must be 'val' or 'train', got {tcfg.select}")
+    if val_take_ids is not None and seq_ids is None:
+        raise ValueError("val_take_ids requires seq_ids")
     n = grids.shape[0]
     rng = np.random.default_rng(tcfg.seed)
     if seq_ids is not None:
         seq_ids = np.asarray(seq_ids)
         if seq_ids.shape != (n,):
             raise ValueError(f"seq_ids shape {seq_ids.shape} != ({n},)")
-        takes = rng.permutation(np.unique(seq_ids))
-        n_val_takes = max(1, int(len(takes) * tcfg.val_fraction)) \
-            if len(takes) > 1 else 0
-        val_takes = set(takes[:n_val_takes].tolist())
+        if val_take_ids is not None:
+            all_takes = set(np.unique(seq_ids).tolist())
+            val_takes = {int(s) for s in val_take_ids}
+            unknown = val_takes - all_takes
+            if unknown:
+                raise ValueError(f"val_take_ids not in seq_ids: "
+                                 f"{sorted(unknown)}")
+            if not all_takes - val_takes:
+                raise ValueError("val_take_ids covers every take; "
+                                 "nothing left to train on")
+        else:
+            takes = rng.permutation(np.unique(seq_ids))
+            n_val_takes = max(1, int(len(takes) * tcfg.val_fraction)) \
+                if len(takes) > 1 else 0
+            val_takes = set(takes[:n_val_takes].tolist())
         is_val = np.asarray([int(s) in val_takes for s in seq_ids])
         val_idx = rng.permutation(np.nonzero(is_val)[0])
         train_idx = rng.permutation(np.nonzero(~is_val)[0])
@@ -282,6 +299,52 @@ def train_prior(
                       flush=True)
             break
     return {"params": best_params}, history
+
+
+def classify_grids(model, variables, grids: np.ndarray, mask: np.ndarray,
+                   *, batch: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """Prior-as-classifier: per-grid next-token CE under EVERY class token.
+
+    The principled readout of what the class conditioning actually encodes:
+    with a uniform class prior, argmin-CE is the Bayes decision rule
+    p(class | grid) ∝ p(grid | class). Returns (pred (n,) int32 predicted
+    class ids, ce (n, C) float32 per-class mean CE). Only defined for a
+    class-conditioned prior. Chunked to ONE static shape so the tunneled
+    TPU compiles a single program.
+    """
+    import optax
+
+    C = len(model.cfg.class_names)
+    if not C:
+        raise ValueError("classify_grids needs a class-conditioned prior")
+    n = grids.shape[0]
+    b = min(batch, n)
+
+    @jax.jit
+    def ce_fn(g, m):
+        denom = jnp.maximum(m.sum(axis=1), 1.0)
+
+        def one(c):
+            cls = jnp.full((g.shape[0],), c, jnp.int32)
+            logits = model.apply(variables, g, train=False, class_ids=cls)
+            tot = 0.0
+            for s_i, lg in enumerate(logits):
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    lg, g[..., s_i])
+                tot = tot + (ce * m).sum(axis=1) / denom
+            return tot / len(logits)
+
+        return jnp.stack([one(c) for c in range(C)], axis=1)  # (b, C)
+
+    out = np.zeros((n, C), np.float32)
+    for i in range(0, n, b):
+        g = np.zeros((b, *grids.shape[1:]), grids.dtype)
+        m = np.zeros((b, mask.shape[1]), mask.dtype)
+        take = min(b, n - i)
+        g[:take], m[:take] = grids[i:i + take], mask[i:i + take]
+        out[i:i + take] = np.asarray(ce_fn(jnp.asarray(g),
+                                           jnp.asarray(m)))[:take]
+    return out.argmin(axis=1).astype(np.int32), out
 
 
 # ------------------------------------------------------------- checkpointing
