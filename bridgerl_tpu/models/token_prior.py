@@ -178,9 +178,24 @@ def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
     return total / len(logits)
 
 
+def nucleus_filter(lg: jax.Array, top_p: float) -> jax.Array:
+    """Top-p (nucleus) filtering: keep the smallest logit set whose
+    probability mass reaches ``top_p``; everything else goes to -inf. The
+    token that crosses the threshold is kept, so at least one survives.
+    Static-shape (sort + cumsum), jit-friendly.
+    """
+    sorted_lg = jnp.flip(jnp.sort(lg, axis=-1), axis=-1)
+    probs = jax.nn.softmax(sorted_lg, axis=-1)
+    exclusive = jnp.cumsum(probs, axis=-1) - probs
+    keep = exclusive < top_p
+    thresh = jnp.min(jnp.where(keep, sorted_lg, jnp.inf),
+                     axis=-1, keepdims=True)
+    return jnp.where(lg < thresh, -jnp.inf, lg)
+
+
 def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
                  batch: int, length: int, temperature: float = 1.0,
-                 top_k: Optional[int] = None,
+                 top_k: Optional[int] = None, top_p: Optional[float] = None,
                  class_ids: Optional[jax.Array] = None,
                  prompt: Optional[jax.Array] = None) -> jax.Array:
     """Autoregressively sample (batch, length, S) normalized code grids.
@@ -193,7 +208,10 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
     sampled (S small — the depth loop unrolls). ``class_ids`` (batch,)
     selects the action for a class-conditioned prior.
 
-    ``prompt`` (batch, P, S) or (P, S) seeds the first P positions with real
+    ``top_p`` applies nucleus filtering after temperature (composable with
+    top_k; the measured follow-up knob for free-run dynamics damping at
+    corpus scale, docs/ROUND3.md handoff). ``prompt`` (batch, P, S) or
+    (P, S) seeds the first P positions with real
     tokens and samples only positions P..length-1 — prompted continuation.
     Free-running rollout from BOS compounds its own early errors (exposure
     bias: measured 100%-novel position tuples at every temperature/top-k on
@@ -223,6 +241,8 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
         if top_k is not None and top_k < lg.shape[-1]:
             kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
             lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if top_p is not None and top_p < 1.0:
+            lg = nucleus_filter(lg, top_p)
         tok = jax.random.categorical(key, lg)
         return jax.lax.dynamic_update_slice(
             grid, tok[:, None, None].astype(jnp.int32), (0, t, s))

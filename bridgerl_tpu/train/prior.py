@@ -159,6 +159,14 @@ class PriorTrainConfig:
     #           to fit the corpus and eval/generation novelty metrics guard
     #           against verbatim copying. Val CE is still logged either way.
     select: str = "val"
+    # scheduled sampling (two-pass, Mihaylova/Martins-style for parallel
+    # teacher forcing): with probability ramping linearly 0 -> this value
+    # over the planned epochs, a context position's tokens are replaced by
+    # the model's OWN first-pass samples before the loss pass. Targets stay
+    # ground truth. 0.0 = pure teacher forcing (today's path, no extra
+    # forward). The exposure-bias mitigation for free-running rollout
+    # (measured damping at corpus scale, docs/ROUND3.md handoff).
+    scheduled_sampling: float = 0.0
 
 
 def train_prior(
@@ -245,19 +253,40 @@ def train_prior(
     cv = (jnp.asarray(np.asarray(class_ids)[val_idx], jnp.int32)
           if (n_val and class_ids is not None) else None)
 
-    def loss_fn(p, g, m, c, drop_key):
-        logits = model.apply({"params": p}, g, train=True,
+    use_ss = tcfg.scheduled_sampling > 0.0
+
+    def loss_fn(p, g, m, c, drop_key, ss_prob):
+        g_in = g
+        if use_ss:
+            # two-pass scheduled sampling for parallel teacher forcing:
+            # pass 1 (no grad) samples the model's own predictions; whole
+            # positions of the CONTEXT are replaced with prob ss_prob; the
+            # loss pass then reads partly-self-generated context while the
+            # targets stay ground truth — training matches free-running
+            # rollout's input distribution (exposure-bias mitigation).
+            logits1 = model.apply(
+                {"params": jax.lax.stop_gradient(p)}, g, train=False,
+                class_ids=c if use_cls else None)
+            ss_key, drop_key = jax.random.split(drop_key)
+            keys = jax.random.split(ss_key, len(logits1) + 1)
+            sampled = jnp.stack(
+                [jax.random.categorical(keys[s], lg)
+                 for s, lg in enumerate(logits1)], axis=-1).astype(jnp.int32)
+            replace = jax.random.bernoulli(
+                keys[-1], ss_prob, g.shape[:2])[..., None]
+            g_in = jnp.where(replace, sampled, g)
+        logits = model.apply({"params": p}, g_in, train=True,
                              rngs={"dropout": drop_key},
                              class_ids=c if use_cls else None)
         return prior_loss(logits, g, m)
 
     @jax.jit
-    def epoch_fn(params, opt_state, idx_mat, drop_key):
+    def epoch_fn(params, opt_state, idx_mat, drop_key, ss_prob):
         def step(carry, args):
             p, o = carry
             idx, k = args
             loss, grads = jax.value_and_grad(loss_fn)(
-                p, g_dev[idx], m_dev[idx], c_dev[idx], k)
+                p, g_dev[idx], m_dev[idx], c_dev[idx], k, ss_prob)
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
 
@@ -279,9 +308,13 @@ def train_prior(
         order = np.random.default_rng(tcfg.seed * 100003 + ep).permutation(
             train_idx)[: steps * bs]
         idx_mat = jnp.asarray(order.reshape(steps, bs))
+        # linear 0 -> scheduled_sampling ramp over the planned epochs
+        # (a traced scalar: the ramp costs no recompiles)
+        ss_prob = tcfg.scheduled_sampling * ep / max(tcfg.epochs - 1, 1)
         params, opt_state, tr = epoch_fn(
             params, opt_state, idx_mat,
-            jax.random.fold_in(jax.random.key(tcfg.seed + 1), ep))
+            jax.random.fold_in(jax.random.key(tcfg.seed + 1), ep),
+            jnp.asarray(ss_prob, jnp.float32))
         vl = float(eval_fn(params)) if n_val else float(tr)
         history["train_loss"].append(float(tr))
         history["val_loss"].append(vl)
@@ -424,7 +457,7 @@ def make_generation_fn(vq_model, vq_variables, exp, prior_model,
         batch = class_ids.shape[0] if class_ids is not None else n_samples
         grid = sample_grids(prior_model, prior_variables, key, batch,
                             n_positions, temperature=temperature, top_k=top_k,
-                            class_ids=class_ids)
+                            top_p=top_p, class_ids=class_ids)
         codes = grid_to_codes(pcfg, grid)
         codes = denormalize_codes(exp.model, codes)
         z_q = decode_codes(exp.model, vq_variables, codes)
@@ -459,7 +492,8 @@ def sample_motion(
     vq_model, vq_variables, exp, prior_model, prior_variables,
     mean: np.ndarray, std: np.ndarray, *, n_samples: int = 4,
     n_positions: int = 32, temperature: float = 1.0,
-    top_k: Optional[int] = None, seed: int = 0,
+    top_k: Optional[int] = None, top_p: Optional[float] = None,
+    seed: int = 0,
     class_ids: Optional[np.ndarray] = None,
     prompt: Optional[np.ndarray] = None,
     return_windows: bool = False, return_grid: bool = False,
@@ -481,7 +515,7 @@ def sample_motion(
     pcfg = prior_model.cfg
     grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
                         n_samples, n_positions, temperature=temperature,
-                        top_k=top_k, prompt=prompt,
+                        top_k=top_k, top_p=top_p, prompt=prompt,
                         class_ids=(jnp.asarray(class_ids, jnp.int32)
                                    if class_ids is not None else None))
     codes = grid_to_codes(pcfg, grid)                      # normalized

@@ -69,6 +69,9 @@ def main():
     p.add_argument("--tag", default="",
                    help="suffix for the arm key/ckpt (e.g. _d384L6) so "
                         "capacity arms don't collide with take-count arms")
+    p.add_argument("--scheduled_sampling", type=float, default=0.0,
+                   help="max scheduled-sampling prob (tag the arm, e.g. "
+                        "--tag _ss25)")
     p.add_argument("--select", default="train", choices=["train", "val"],
                    help="prior checkpoint selection: 'train' fits the corpus "
                         "(generative regime), 'val' early-stops on grouped-val "
@@ -156,7 +159,8 @@ def main():
 
         tcfg = PriorTrainConfig(epochs=args.epochs, patience=args.patience,
                                 batch_size=args.batch_size, seed=args.seed,
-                                select=args.select)
+                                select=args.select,
+                                scheduled_sampling=args.scheduled_sampling)
         best_vars, history = train_prior(grids, mask, pcfg, tcfg,
                                          seq_ids=ids, verbose=True)
         ck = out / f"prior_{arm}.ckpt"

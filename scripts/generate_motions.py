@@ -30,6 +30,9 @@ def main():
                    help="windows per motion (length = stride*(N-1)+W frames)")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--top_p", type=float, default=None,
+                   help="nucleus sampling: keep the smallest token set with "
+                        "this probability mass")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", action="store_true",
                    help="also render each sample to a skeleton GIF")
@@ -108,7 +111,8 @@ def main():
     motions, windows = sample_motion(
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
-        temperature=args.temperature, top_k=args.top_k, seed=args.seed,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        seed=args.seed,
         class_ids=class_ids, prompt=prompt, return_windows=True)
 
     if args.eval:

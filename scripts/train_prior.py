@@ -53,6 +53,10 @@ def main():
     p.add_argument("--depth_layers", type=int, default=2,
                    help="depth-transformer layers (slot_ar only)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--scheduled_sampling", type=float, default=0.0,
+                   help="max prob of replacing context positions with the "
+                        "model's own samples (linear ramp; exposure-bias "
+                        "mitigation, 0 = pure teacher forcing)")
     p.add_argument("--select", default="val", choices=["val", "train"],
                    help="checkpoint-selection metric: 'val' = grouped-val CE "
                    "(generalization-faithful, but returns a near-init prior "
@@ -139,6 +143,7 @@ def main():
         epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
         weight_decay=args.weight_decay, patience=args.patience,
         seed=args.seed, select=args.select,
+        scheduled_sampling=args.scheduled_sampling,
         compute_dtype="bfloat16" if args.bf16 else "float32")
     best_vars, history = train_prior(grids, mask, pcfg, tcfg,
                                      class_ids=class_ids, seq_ids=seq_ids)

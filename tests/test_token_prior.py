@@ -495,3 +495,58 @@ def test_prompted_sampling_slot_ar():
     np.testing.assert_array_equal(g[0, :2], prompt)
     np.testing.assert_array_equal(g[1, :2], prompt)
     assert g[..., 0].max() < 7 and g[..., 1].max() < 5
+
+
+def test_nucleus_filter_keeps_mass_and_crossing_token():
+    """Top-p keeps exactly the smallest prefix of sorted probs reaching p
+    (the crossing token included), and never empties the support."""
+    from bridgerl_tpu.models.token_prior import nucleus_filter
+
+    lg = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]]))
+    out = np.asarray(nucleus_filter(lg, 0.6))
+    assert np.isfinite(out[0, :2]).all()          # 0.5 + 0.3 crosses 0.6
+    assert np.isinf(out[0, 2:]).all() and (out[0, 2:] < 0).all()
+    # degenerate p: the argmax always survives
+    out = np.asarray(nucleus_filter(lg, 1e-9))
+    assert np.isfinite(out[0, 0]) and np.isinf(out[0, 1:]).all()
+    # p = 1 keeps everything
+    out = np.asarray(nucleus_filter(lg, 1.0))
+    assert np.isfinite(out).all()
+
+
+def test_sample_grids_top_p_greedy_limit():
+    """top_p -> 0 equals greedy decoding (argmax chain)."""
+    model, variables = _tiny_model()
+    g_p = np.asarray(sample_grids(model, variables, jax.random.key(3),
+                                  batch=2, length=6, top_p=1e-9))
+    g_greedy = np.asarray(sample_grids(model, variables, jax.random.key(5),
+                                       batch=2, length=6, top_k=1))
+    np.testing.assert_array_equal(g_p, g_greedy)  # key-independent
+    # top_p=1.0 is a no-op filter: matches unfiltered sampling exactly
+    g_all = np.asarray(sample_grids(model, variables, jax.random.key(3),
+                                    batch=2, length=6, top_p=1.0))
+    g_none = np.asarray(sample_grids(model, variables, jax.random.key(3),
+                                     batch=2, length=6))
+    np.testing.assert_array_equal(g_all, g_none)
+
+
+def test_scheduled_sampling_trains_and_differs():
+    """ss>0 still learns the constant pattern; the run differs from ss=0
+    (two-pass context corruption is a different program), and ss=0 keeps
+    the original single-pass history (backward-compat regression)."""
+    grids = np.zeros((16, 8, 2), np.int32)
+    grids[..., 0] = 3
+    grids[..., 1] = 1
+    mask = np.ones((16, 8), np.float32)
+    base = dict(epochs=30, batch_size=8, lr=3e-3, patience=-1,
+                val_fraction=0.25, seed=0)
+    _, h0 = train_prior(grids, mask, TINY, PriorTrainConfig(**base),
+                        verbose=False)
+    _, h0b = train_prior(grids, mask, TINY, PriorTrainConfig(**base),
+                         verbose=False)
+    assert h0["train_loss"] == h0b["train_loss"]  # deterministic
+    _, hs = train_prior(
+        grids, mask, TINY,
+        PriorTrainConfig(**base, scheduled_sampling=0.5), verbose=False)
+    assert hs["val_loss"][-1] < 0.2 * hs["val_loss"][0]  # still learns
+    assert hs["train_loss"] != h0["train_loss"]          # ss path engaged
