@@ -63,6 +63,11 @@ class ModelConfig:
     # flagship step even on rbg (perf_battery.md) — this recovers most of it.
     # Same expectation/scaling semantics; param tree unchanged.
     cheap_dropout: bool = False
+    # int8 MXU path for the transformer FF matmuls (ops/int8.py): dynamic
+    # abs-max int8 forward, straight-through bf16 backward. v5e int8 runs at
+    # 2x bf16 peak; opt-in until the perf battery shows a quality-neutral
+    # win (same protocol as fused_attention).
+    int8_ff: bool = False
     # quantizer internals
     fsq_levels: Tuple[int, ...] = (8, 5, 5, 5)
     # FSQ bounding (Mentzer et al. 2023 tanh-squash to exactly prod(levels)

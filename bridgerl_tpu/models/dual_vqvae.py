@@ -51,6 +51,7 @@ def _make_encoder(cfg: ModelConfig, name: str) -> nn.Module:
             dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
             fused_attention=cfg.fused_attention, torch_init=ti,
             cheap_dropout=getattr(cfg, "cheap_dropout", False),
+            int8_ff=getattr(cfg, "int8_ff", False),
             tokens=getattr(cfg, "tf_tokens", 1), name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleEncoder(hidden_dim=cfg.hidden_dim,
@@ -72,6 +73,7 @@ def _make_decoder(cfg: ModelConfig, name: str) -> nn.Module:
             dtype=dt, attn_packing=cfg.attn_packing, scan_layers=cfg.scan_layers,
             fused_attention=cfg.fused_attention, torch_init=ti,
             cheap_dropout=getattr(cfg, "cheap_dropout", False),
+            int8_ff=getattr(cfg, "int8_ff", False),
             tokens=getattr(cfg, "tf_tokens", 1), name=name)
     if cfg.arch == "resnet_no_down":
         return NoDownsampleDecoder(output_dim=cfg.robot_input_dim,

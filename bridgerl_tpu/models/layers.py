@@ -272,6 +272,7 @@ class TransformerBlock(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    int8_ff: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -299,10 +300,14 @@ class TransformerBlock(nn.Module):
             **attn_kwargs,
         )(x, x, mask=mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + drop(self.dropout)(attn))
-        h = nn.Dense(self.ff_dim, dtype=self.dtype, kernel_init=ki, name="ff1")(x)
+        DenseFF = nn.Dense
+        if self.int8_ff:
+            from ..ops.int8 import Int8Dense
+            DenseFF = Int8Dense
+        h = DenseFF(self.ff_dim, dtype=self.dtype, kernel_init=ki, name="ff1")(x)
         h = nn.relu(h)
         h = drop(self.dropout)(h)
-        h = nn.Dense(self.d_model, dtype=self.dtype, kernel_init=ki, name="ff2")(h)
+        h = DenseFF(self.d_model, dtype=self.dtype, kernel_init=ki, name="ff2")(h)
         x = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + drop(self.dropout)(h))
         return x
 
@@ -328,6 +333,7 @@ class TransformerStack(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    int8_ff: bool = False
 
     @nn.compact
     def __call__(self, h: jax.Array, train: bool = False, mask=None) -> jax.Array:
@@ -338,6 +344,7 @@ class TransformerStack(nn.Module):
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
                                      cheap_dropout=self.cheap_dropout,
+                                     int8_ff=self.int8_ff,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
             return h
 
@@ -351,6 +358,7 @@ class TransformerStack(nn.Module):
             torch_init: bool
             fused_attention: bool
             cheap_dropout: bool
+            int8_ff: bool
 
             @nn.compact
             def __call__(self, carry, mask):
@@ -359,6 +367,7 @@ class TransformerStack(nn.Module):
                                        torch_init=self.torch_init,
                                        fused_attention=self.fused_attention,
                                        cheap_dropout=self.cheap_dropout,
+                                       int8_ff=self.int8_ff,
                                        name="block")(carry, train=self.train, mask=mask)
                 return out, None
 
@@ -372,7 +381,7 @@ class TransformerStack(nn.Module):
         h, _ = ScanBody(self.d_model, self.n_heads, self.ff_dim,
                         self.dropout, self.dtype, train, self.torch_init,
                         self.fused_attention, self.cheap_dropout,
-                        name="layers")(h, mask)
+                        self.int8_ff, name="layers")(h, mask)
         return h
 
 
@@ -398,6 +407,7 @@ class TransformerMotionEncoder(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    int8_ff: bool = False
     tokens: int = 1
 
     @nn.compact
@@ -417,6 +427,7 @@ class TransformerMotionEncoder(nn.Module):
                                  scan=True, torch_init=self.torch_init,
                                  fused_attention=self.fused_attention,
                                  cheap_dropout=self.cheap_dropout,
+                                     int8_ff=self.int8_ff,
                                  name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
@@ -425,6 +436,7 @@ class TransformerMotionEncoder(nn.Module):
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
                                      cheap_dropout=self.cheap_dropout,
+                                     int8_ff=self.int8_ff,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)
@@ -457,6 +469,7 @@ class TransformerMotionDecoder(nn.Module):
     torch_init: bool = False
     fused_attention: bool = False
     cheap_dropout: bool = False
+    int8_ff: bool = False
     tokens: int = 1
 
     @nn.compact
@@ -480,6 +493,7 @@ class TransformerMotionDecoder(nn.Module):
                                  scan=True, torch_init=self.torch_init,
                                  fused_attention=self.fused_attention,
                                  cheap_dropout=self.cheap_dropout,
+                                     int8_ff=self.int8_ff,
                                  name="stack")(h, train=train, mask=mask)
         else:
             for i in range(self.num_layers):
@@ -488,6 +502,7 @@ class TransformerMotionDecoder(nn.Module):
                                      torch_init=self.torch_init,
                                      fused_attention=self.fused_attention,
                                      cheap_dropout=self.cheap_dropout,
+                                     int8_ff=self.int8_ff,
                                      name=f"layer_{i}")(h, train=train, mask=mask)
         if P > 1:
             h = h.reshape(B, T, self.d_model)

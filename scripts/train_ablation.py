@@ -99,6 +99,9 @@ def main():
                    help="uint8-bit dropout masks (8 PRNG bits/element; keep "
                         "prob quantized to 1/256) — measured mask-gen cost "
                         "cure, see perf_battery.md")
+    p.add_argument("--int8_ff", action="store_true",
+                   help="int8 MXU forward for the transformer FF matmuls "
+                        "(straight-through bf16 backward; ops/int8.py)")
     p.add_argument("--reuse_dropout_mask", action="store_true",
                    help="One dropout mask per optimizer batch, shared across "
                         "accumulation microbatches (XLA hoists the PRNG work "
@@ -163,6 +166,7 @@ def main():
         attn_packing=args.attn_packing, accum_chunks=args.accum_chunks,
         fused_attention=args.fused_attention,
         cheap_dropout=args.cheap_dropout,
+        int8_ff=args.int8_ff,
         reuse_dropout_mask=args.reuse_dropout_mask,
         entropy_loss_weight=args.entropy_weight,
         human_input_dim=ds.human_dim, robot_input_dim=ds.robot_dim,
