@@ -439,7 +439,8 @@ def stitch_windows_jax(windows: jnp.ndarray, stride: int) -> jnp.ndarray:
 def make_generation_fn(vq_model, vq_variables, exp, prior_model,
                        prior_variables, mean, std, *, n_positions: int,
                        n_samples: int = 1, temperature: float = 1.0,
-                       top_k: Optional[int] = None):
+                       top_k: Optional[int] = None,
+                       top_p: Optional[float] = None):
     """One jittable program: PRNG key (+ optional class ids) -> raw motion.
 
     Returns fn(key, class_ids?) -> (batch, stride*(N-1)+W, D) float32, where
