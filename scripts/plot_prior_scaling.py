@@ -40,7 +40,11 @@ def load_arms(repo: Path) -> dict:
         f = repo / "abruns" / sub / "scaling.json"
         if f.exists():
             for k, v in json.loads(f.read_text()).items():
-                arms[int(k.removeprefix("takes"))] = v
+                n = k.removeprefix("takes")
+                if not n.isdigit():
+                    continue  # tagged arms (capacity/ss variants) aren't
+                    # points on the take-count axis
+                arms[int(n)] = v
     return dict(sorted(arms.items()))
 
 
