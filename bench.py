@@ -31,7 +31,7 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                    n_windows=65536, epochs_timed=8, compute_dtype="bfloat16",
                    attn_packing=8, dropout=0.1, accum_chunks=1,
                    fused_attention=False, cheap_dropout=False,
-                   reuse_dropout_mask=False, int8_ff=False):
+                   reuse_dropout_mask=False, int8_ff=False, **config_over):
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.models import init_model
     from bridgerl_tpu.train import (
@@ -48,7 +48,7 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                           fused_attention=fused_attention,
                           cheap_dropout=cheap_dropout,
                           reuse_dropout_mask=reuse_dropout_mask,
-                          int8_ff=int8_ff)
+                          int8_ff=int8_ff, **config_over)
     model, variables = init_model(exp.model, jax.random.key(0))
     params, rest = split_variables(variables)
     tx = make_optimizer(exp, params)

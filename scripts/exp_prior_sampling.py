@@ -36,6 +36,8 @@ def main():
     p.add_argument("--temperatures", default="0.8,0.9,1.0")
     p.add_argument("--top_ks", default="0,8,32",
                    help="0 = no top-k truncation")
+    p.add_argument("--top_ps", default="0",
+                   help="0 = no nucleus filtering (composes with top_k)")
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--positions", type=int, default=64)
     p.add_argument("--seed", type=int, default=42)
@@ -65,6 +67,7 @@ def main():
                         allow_pickle=True))
     temps = [float(t) for t in args.temperatures.split(",")]
     top_ks = [int(k) for k in args.top_ks.split(",")]
+    top_ps = [float(x) for x in args.top_ps.split(",")]
 
     sweep = {}
     data_grids = data_mask = data_wins = None
@@ -85,12 +88,13 @@ def main():
                 for s in seqs if np.asarray(s).shape[0] >= W])
         for temp in temps:
             for tk in top_ks:
+              for tp in top_ps:
                 t0 = time.time()
                 motions, windows, grid = sample_motion(
                     model, variables, exp, prior_model, prior_vars,
                     mean, std, n_samples=args.n_samples,
                     n_positions=args.positions, temperature=temp,
-                    top_k=(tk or None), seed=args.seed,
+                    top_k=(tk or None), top_p=(tp or None), seed=args.seed,
                     return_windows=True, return_grid=True)
                 rep = compare_to_data(motions, seqs)
                 rep["overlap_disagreement"] = float(np.mean(
@@ -98,7 +102,7 @@ def main():
                 rep.update(code_novelty(grid, data_grids, data_mask))
                 rep.update(nearest_data_distance(windows, data_wins))
                 rep["sample_s"] = round(time.time() - t0, 1)
-                key = f"{name}|T{temp}|k{tk}"
+                key = f"{name}|T{temp}|k{tk}" + (f"|p{tp}" if tp else "")
                 sweep[key] = rep
                 print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
                       f"jerk {rep['jerk_ratio']:.3f} | "

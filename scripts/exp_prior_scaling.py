@@ -72,6 +72,9 @@ def main():
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="max scheduled-sampling prob (tag the arm, e.g. "
                         "--tag _ss25)")
+    p.add_argument("--factorized", action="store_true",
+                   help="disable the within-position slot-AR depth head "
+                        "(A/B arm — tag it, e.g. --tag _factorized)")
     p.add_argument("--select", default="train", choices=["train", "val"],
                    help="prior checkpoint selection: 'train' fits the corpus "
                         "(generative regime), 'val' early-stops on grouped-val "
@@ -151,7 +154,7 @@ def main():
             model, variables, exp, seqs, mean, std, args.stride,
             max_len=args.max_len, phases=phases)
         pcfg = dataclasses.replace(
-            pcfg, slot_ar=True, d_model=args.d_model,
+            pcfg, slot_ar=not args.factorized, d_model=args.d_model,
             ff_dim=2 * args.d_model, n_layers=args.n_layers,
             n_heads=args.n_heads, dropout=args.prior_dropout)
         print(f"=== {arm}: {grids.shape[0]} grids, "
