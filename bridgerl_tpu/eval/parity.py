@@ -33,9 +33,38 @@ zoo (round-2 VERDICT item 1):
      method (ref 4.8x) — round-2 collapse criteria, fail until fixed
   C10 W64-era transformer teacher val_recon < 5.5e-2 (BASELINE row 5,
       ref 2.75e-2, threshold scaled 2x like C6)
+  C11 W64-K4 two-stage teacher (the measured-best QUALITY recipe,
+      scripts/specs_k4_2stage.json): best val_recon < 1e-2 (measured 0.0037)
+  C12 K4 student cross-recon within 3x of the K4 teacher recon (measured
+      1.02x — retargeting quality carries over to the K4 recipe)
 
 Each criterion is computed from `results/log_*.json` by `evaluate_parity` and
 rendered into PARITY.md by scripts/check_parity.py.
+
+Generative-stack criteria (round-3 VERDICT weak #5: the prior had measured
+yardsticks but no pass/fail row, so a regression would be silent). These are
+REGRESSION BANDS around the measured round-3/4 results of the corpus-scaling
+study (abruns/prior_scale_val, abruns/prior_scale2, docs/ROUND3.md), not
+aspirational targets — the decode+stitch ceiling (vel 0.93 / overlap-dis
+0.041) is documented next to each band:
+
+  G1 generalization: every untagged scaling arm with >= 160 takes scores
+     held-out prompted-continuation truth_mse BELOW its own val_nn_floor
+     (what pure retrieval against the train bank could achieve; takes64
+     fails this by design — memorization scale)
+  G2 tokenizer health: recon_floor (frozen teacher's recon on unseen takes)
+     <= 8e-3 on every arm (measured 0.0036-0.0039; 2x headroom)
+  G3 prior learns beyond init: largest arm improves grouped-val CE by
+     >= 0.5 nats from epoch 0 (measured 4.55 -> 3.28 at takes1280)
+  G4 free-run dynamics bands at the largest arm: vel_ratio >= 0.15 and
+     overlap_disagreement <= 0.30 (measured 0.22 / 0.17; ceiling 0.93 /
+     0.041 — the open gap is tracked in docs, the band catches regressions)
+  G5 conditioned control is sampler-level: histogram-match accuracy 1.0
+     at perclass12 (the class token steers SAMPLING; its measured
+     information gain is ~0 nats because the class is already inferable
+     from the token prefix — adjudicated in docs/ROUND4.md)
+
+Evaluated from the committed experiment JSONs by `evaluate_generation`.
 """
 
 from __future__ import annotations
@@ -184,13 +213,18 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
     # the worst quantizer but still trains: PPL 164.2±8.9 of 1024 and recon
     # ~4.8x the best method (README.md:357). Round-2 runs collapsed to
     # PPL 46 / recon 18.3x best; these criteria fail until LFQ is fixed. ----
+    # Two-sided band (round-3 VERDICT weak #5): the one-sided >=100 was
+    # degenerate — a UNIFORM random code stream (PPL ~ 1024) would pass.
+    # The band rejects both collapse (<100) and uniform-noise usage (>1000);
+    # C9.2's recon bound guards that the in-band usage actually learns.
     lfq_ppl = _final(data.get("resnet_lfq", {}), "perplexity")
     if lfq_ppl is None:
-        crits.append(Criterion("C9.1", "LFQ PPL >= 100 of 1024 (ref 164.2)",
+        crits.append(Criterion("C9.1", "LFQ PPL in [100, 1000] of 1024 (ref 164.2)",
                                None, "lfq runs missing"))
     else:
-        crits.append(Criterion("C9.1", "LFQ PPL >= 100 of 1024 (ref 164.2)",
-                               lfq_ppl >= 100.0, f"lfq ppl={lfq_ppl:.1f}"))
+        crits.append(Criterion("C9.1", "LFQ PPL in [100, 1000] of 1024 (ref 164.2)",
+                               100.0 <= lfq_ppl <= 1000.0,
+                               f"lfq ppl={lfq_ppl:.1f}"))
     lfq_recon = _final(data.get("resnet_lfq", {}), "val_recon")
     best_recon = None
     cands = [recon(e) for e in ("resnet_hybrid", "resnet_rvq")]
@@ -219,6 +253,33 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
                                "val_recon < 5.5e-2 (ref 2.75e-2)",
                                w64 < 5.5e-2, f"best val_recon={w64:.4g}"))
 
+    # ---- C11/C12: the QUALITY flagship — W64-K4 two-stage recipe (round-3
+    # VERDICT weak #6 / next #8: the measured-best recipe was not
+    # criterion-watched). Two-stage = 80-ep ae pretrain then hybrid with
+    # codebook data init (scripts/specs_k4_2stage.json); cures the W64
+    # cold-start collapse (0.32 mean-prediction floor -> 0.0037). ----
+    k4 = _best(data.get("transformer_hybrid_W64_K4", {}), "val_recon")
+    if k4 is None:
+        crits.append(Criterion("C11", "W64-K4 two-stage teacher: best "
+                               "val_recon < 1e-2 (measured 0.0037, 2x "
+                               "better than K1)", None, "K4 runs missing"))
+    else:
+        crits.append(Criterion("C11", "W64-K4 two-stage teacher: best "
+                               "val_recon < 1e-2 (measured 0.0037, 2x "
+                               "better than K1)", k4 < 1e-2,
+                               f"best val_recon={k4:.4g}"))
+    k4s = data.get("transformer_hybrid_W64_K4_student", {})
+    k4_cross = _best(k4s, "val_cross_recon")
+    if k4_cross is None or k4 is None:
+        crits.append(Criterion("C12", "K4 student cross-recon within 3x of "
+                               "K4 teacher recon", None,
+                               "K4 student runs missing"))
+    else:
+        crits.append(Criterion("C12", "K4 student cross-recon within 3x of "
+                               "K4 teacher recon", k4_cross <= 3.0 * k4,
+                               f"cross={k4_cross:.4g} vs teacher recon="
+                               f"{k4:.4g} ({k4_cross / k4:.2f}x)"))
+
     # ---- C7: flagship PPL stability across seeds ----
     flag_ppl = data.get("transformer_hybrid", {}).get("perplexity", [])
     if not flag_ppl:
@@ -229,6 +290,116 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
         crits.append(Criterion("C7", "every flagship seed ends with FSQ PPL > 200",
                                all(p > 200 for p in finals),
                                f"per-seed final ppl={[round(p,1) for p in finals]}"))
+    return crits
+
+
+_SCALING_PATHS = ("abruns/prior_scale_val/scaling.json",
+                  "abruns/prior_scale2/scaling.json")
+_COND_PATH = "abruns/prior_cond/conditioned.json"
+
+
+def evaluate_generation(scaling_paths=_SCALING_PATHS,
+                        cond_path: str = _COND_PATH) -> List[Criterion]:
+    """Generative-stack criteria G1-G5 (docstring above) from the committed
+    corpus-scaling / conditioned-prior experiment JSONs."""
+    import json
+    import re
+
+    arms: Dict[str, Dict] = {}  # "file:takesN" -> arm report (untagged only)
+    for path in scaling_paths:
+        if not os.path.exists(path):
+            continue
+        data = json.loads(open(path).read())
+        src = os.path.basename(os.path.dirname(path))
+        for key, rep in data.items():
+            if re.fullmatch(r"takes(\d+)", key):
+                arms[f"{src}:{key}"] = rep
+    crits: List[Criterion] = []
+
+    def n_takes(label):
+        return int(label.rsplit("takes", 1)[1])
+
+    def prompted(rep):
+        for k, v in rep.items():
+            if k.startswith("prompted_val_P"):
+                return v
+        return None
+
+    # G1: held-out continuation beats the retrieval floor at >= 160 takes
+    big = {k: v for k, v in arms.items() if n_takes(k) >= 160}
+    if not big:
+        crits.append(Criterion("G1", "held-out continuation truth_mse < "
+                               "val_nn_floor at every arm >= 160 takes",
+                               None, "scaling arms missing"))
+    else:
+        details, ok = [], True
+        for k, rep in sorted(big.items(), key=lambda kv: n_takes(kv[0])):
+            tm = float(np.mean(prompted(rep)["truth_mse_by_offset"]))
+            floor = rep["val_nn_floor"]
+            ok &= tm < floor
+            details.append(f"{k}: {tm:.3f} < {floor:.3f}")
+        crits.append(Criterion("G1", "held-out continuation truth_mse < "
+                               "val_nn_floor at every arm >= 160 takes",
+                               ok, "; ".join(details)))
+
+    # G2: frozen-tokenizer recon floor stays in the measured class
+    if not arms:
+        crits.append(Criterion("G2", "tokenizer recon_floor <= 8e-3 on every "
+                               "arm (measured ~0.0037)", None,
+                               "scaling arms missing"))
+    else:
+        floors = {k: rep["recon_floor"] for k, rep in arms.items()}
+        worst = max(floors, key=floors.get)
+        crits.append(Criterion("G2", "tokenizer recon_floor <= 8e-3 on every "
+                               "arm (measured ~0.0037)",
+                               floors[worst] <= 8e-3,
+                               f"worst {worst}: {floors[worst]:.4f}"))
+
+    # G3 + G4 anchor on the largest arm (the committed flagship corpus)
+    if arms:
+        top = max(arms, key=n_takes)
+        rep = arms[top]
+        dce = rep["val_ce_epoch0"] - rep["val_ce_best"]
+        crits.append(Criterion("G3", "largest arm improves grouped-val CE "
+                               ">= 0.5 nats from epoch 0",
+                               dce >= 0.5,
+                               f"{top}: {rep['val_ce_epoch0']:.2f} -> "
+                               f"{rep['val_ce_best']:.2f} (-{dce:.2f})"))
+        fr = rep["free_run"]
+        ok = (fr["vel_ratio"] >= 0.15
+              and fr["overlap_disagreement"] <= 0.30)
+        crits.append(Criterion("G4", "largest-arm free-run bands: vel_ratio "
+                               ">= 0.15, overlap-dis <= 0.30 (ceiling "
+                               "0.93/0.041)", ok,
+                               f"{top}: vel {fr['vel_ratio']:.2f}, "
+                               f"overlap {fr['overlap_disagreement']:.3f}"))
+    else:
+        crits.append(Criterion("G3", "largest arm improves grouped-val CE "
+                               ">= 0.5 nats from epoch 0", None,
+                               "scaling arms missing"))
+        crits.append(Criterion("G4", "largest-arm free-run bands: vel_ratio "
+                               ">= 0.15, overlap-dis <= 0.30 (ceiling "
+                               "0.93/0.041)", None, "scaling arms missing"))
+
+    # G5: conditioned prior steers sampling (histogram match), adjudicated
+    # as sampler-level control (conditioning info gain ~0 nats — the class
+    # is inferable from the prefix; docs/ROUND4.md)
+    if os.path.exists(cond_path):
+        import json as _json
+        cond = _json.loads(open(cond_path).read())
+        rep = cond.get("perclass12") or next(iter(cond.values()))
+        hm = rep["histogram_match"]
+        crits.append(Criterion("G5", "conditioned sampling histogram-match "
+                               "accuracy = 1.0 at perclass12",
+                               hm["accuracy"] >= 1.0,
+                               f"match {hm['accuracy']:.2f} over "
+                               f"{hm['n_classes']} classes; cond gain "
+                               f"{rep['conditioning_gain_nats']:+.3f} nats "
+                               "(sampler-level control)"))
+    else:
+        crits.append(Criterion("G5", "conditioned sampling histogram-match "
+                               "accuracy = 1.0 at perclass12", None,
+                               "conditioned.json missing"))
     return crits
 
 

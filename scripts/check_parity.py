@@ -16,9 +16,13 @@ def main():
     p.add_argument("--out", type=str, default="PARITY.md")
     args = p.parse_args()
 
-    from bridgerl_tpu.eval.parity import evaluate_parity, render_parity_md
+    from bridgerl_tpu.eval.parity import (
+        evaluate_generation,
+        evaluate_parity,
+        render_parity_md,
+    )
 
-    crits = evaluate_parity(args.log_dir)
+    crits = evaluate_parity(args.log_dir) + evaluate_generation()
     md = render_parity_md(crits, args.log_dir)
     with open(args.out, "w") as f:
         f.write(md)

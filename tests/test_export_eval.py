@@ -184,6 +184,56 @@ def test_parity_detects_ordering(tmp_path):
     assert crits["C3"].passed and crits["C4"].passed
 
 
+def test_generation_criteria_not_evaluable_on_empty(tmp_path):
+    from bridgerl_tpu.eval.parity import evaluate_generation
+
+    crits = evaluate_generation(
+        scaling_paths=(str(tmp_path / "none.json"),),
+        cond_path=str(tmp_path / "cond.json"))
+    assert {c.cid for c in crits} == {"G1", "G2", "G3", "G4", "G5"}
+    assert all(c.passed is None for c in crits)
+
+
+def test_generation_criteria_bands(tmp_path):
+    """G1-G5 pass on an in-band synthesized study and fail out-of-band
+    (regression bands around the measured round-3/4 results)."""
+    from bridgerl_tpu.eval.parity import evaluate_generation
+
+    def arm(truth, floor, recon, ce0, ce_best, vel, overlap):
+        return {
+            "recon_floor": recon, "val_nn_floor": floor,
+            "val_ce_epoch0": ce0, "val_ce_best": ce_best,
+            "free_run": {"vel_ratio": vel, "overlap_disagreement": overlap},
+            "prompted_val_P8": {"truth_mse_by_offset": [truth] * 4},
+        }
+
+    scaling = {
+        "takes64": arm(0.40, 0.31, 0.0038, 6.6, 6.6, 0.3, 0.2),  # <160: exempt from G1
+        "takes640": arm(0.10, 0.31, 0.0038, 4.8, 4.0, 0.25, 0.17),
+        "takes640_ss25": arm(9.9, 0.31, 0.0038, 4.8, 4.0, 0.0, 0.9),  # tagged: ignored
+    }
+    sp = tmp_path / "scaling.json"
+    sp.write_text(json.dumps(scaling))
+    cond = {"perclass12": {
+        "histogram_match": {"accuracy": 1.0, "n_classes": 7},
+        "conditioning_gain_nats": 0.003}}
+    cp = tmp_path / "conditioned.json"
+    cp.write_text(json.dumps(cond))
+    crits = {c.cid: c for c in evaluate_generation(
+        scaling_paths=(str(sp),), cond_path=str(cp))}
+    assert all(crits[g].passed for g in ("G1", "G2", "G3", "G4", "G5")), crits
+
+    # out-of-band largest arm flips G1 (truth >= floor), G3 (no CE gain),
+    # and G4 (static, incoherent overlaps); degraded tokenizer flips G2
+    scaling["takes1280"] = arm(0.35, 0.31, 0.02, 4.5, 4.4, 0.05, 0.5)
+    sp.write_text(json.dumps(scaling))
+    cond["perclass12"]["histogram_match"]["accuracy"] = 0.7
+    cp.write_text(json.dumps(cond))
+    crits = {c.cid: c for c in evaluate_generation(
+        scaling_paths=(str(sp),), cond_path=str(cp))}
+    assert not any(crits[g].passed for g in ("G1", "G2", "G3", "G4", "G5"))
+
+
 def test_latex_student_sourced_cross_align(tmp_path):
     """Cross/Align columns come from the student log family when present
     (teacher logs carry untrained-human-branch noise for those keys)."""
