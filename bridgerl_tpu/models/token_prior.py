@@ -193,6 +193,45 @@ def nucleus_filter(lg: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(lg < thresh, -jnp.inf, lg)
 
 
+def sample_position(model: MotionTokenPrior, variables, grid: jax.Array,
+                    t, keys, *, temperature: float = 1.0,
+                    top_k: Optional[int] = None, top_p: Optional[float] = None,
+                    class_ids: Optional[jax.Array] = None) -> jax.Array:
+    """Sample all S slots of position ``t`` (traced scalar ok) into ``grid``.
+
+    The causal mask guarantees the model reads only positions < t (plus, for
+    a ``slot_ar`` prior, the slots of position t already written this call).
+    ``keys`` is a sequence of S PRNG keys. Shared by `sample_grids` and
+    `sample_grids_guided` (each candidate row draws independently — one key
+    per slot samples the whole batch axis i.i.d.).
+    """
+    S = len(model.cfg.vocab_sizes)
+
+    def sample_slot(grid, logits, s, key):
+        lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
+        lg = lg / jnp.asarray(max(temperature, 1e-6), lg.dtype)
+        if top_k is not None and top_k < lg.shape[-1]:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        if top_p is not None and top_p < 1.0:
+            lg = nucleus_filter(lg, top_p)
+        tok = jax.random.categorical(key, lg)
+        return jax.lax.dynamic_update_slice(
+            grid, tok[:, None, None].astype(jnp.int32), (0, t, s))
+
+    if model.cfg.slot_ar:
+        for s in range(S):
+            logits = model.apply(variables, grid, train=False,
+                                 class_ids=class_ids)
+            grid = sample_slot(grid, logits, s, keys[s])
+    else:
+        logits = model.apply(variables, grid, train=False,
+                             class_ids=class_ids)
+        for s in range(S):
+            grid = sample_slot(grid, logits, s, keys[s])
+    return grid
+
+
 def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
                  batch: int, length: int, temperature: float = 1.0,
                  top_k: Optional[int] = None, top_p: Optional[float] = None,
@@ -235,31 +274,12 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
             raise ValueError(f"prompt length {n_prompt} >= sample length "
                              f"{length}: nothing to generate")
 
-    def sample_slot(grid, logits, t, s, key):
-        lg = jax.lax.dynamic_slice_in_dim(logits[s], t, 1, axis=1)[:, 0]
-        lg = lg / jnp.asarray(max(temperature, 1e-6), lg.dtype)
-        if top_k is not None and top_k < lg.shape[-1]:
-            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
-        if top_p is not None and top_p < 1.0:
-            lg = nucleus_filter(lg, top_p)
-        tok = jax.random.categorical(key, lg)
-        return jax.lax.dynamic_update_slice(
-            grid, tok[:, None, None].astype(jnp.int32), (0, t, s))
-
     def step(t, carry):
         grid, rng = carry
         rng, *keys = jax.random.split(rng, S + 1)
-        if model.cfg.slot_ar:
-            for s in range(S):
-                logits = model.apply(variables, grid, train=False,
-                                     class_ids=class_ids)
-                grid = sample_slot(grid, logits, t, s, keys[s])
-        else:
-            logits = model.apply(variables, grid, train=False,
-                                 class_ids=class_ids)
-            for s in range(S):
-                grid = sample_slot(grid, logits, t, s, keys[s])
+        grid = sample_position(model, variables, grid, t, keys,
+                               temperature=temperature, top_k=top_k,
+                               top_p=top_p, class_ids=class_ids)
         return grid, rng
 
     grid0 = jnp.zeros((batch, length, S), jnp.int32)
@@ -267,6 +287,98 @@ def sample_grids(model: MotionTokenPrior, variables, rng: jax.Array,
         grid0 = grid0.at[:, :n_prompt].set(prompt)
     grid, _ = jax.lax.fori_loop(n_prompt, length, step, (grid0, rng))
     return grid
+
+
+def sample_grids_guided(model: MotionTokenPrior, variables, rng: jax.Array,
+                        batch: int, length: int, decode_window,
+                        *, candidates: int = 8, temperature: float = 1.0,
+                        top_k: Optional[int] = None,
+                        top_p: Optional[float] = None,
+                        class_ids: Optional[jax.Array] = None,
+                        prompt: Optional[jax.Array] = None) -> jax.Array:
+    """Overlap-consistency guided sampling (best-of-N resampling).
+
+    The measured free-run failure mode at corpus scale is NOT bad marginals
+    but cross-position incoherence: adjacent sampled windows disagree on
+    their stride-overlap frames (RMS 0.17-0.19 vs the decode+stitch
+    ceiling's 0.041, docs/ROUND3.md/ROUND4.md), and overlap-add then
+    averages real dynamics away. This sampler attacks that directly and
+    retraining-free: at each position it draws ``candidates`` i.i.d.
+    continuations per sample from the SAME prior (candidates ride the batch
+    axis — one model call per step regardless of N), decodes each
+    candidate's window through ``decode_window``, and keeps the candidate
+    whose first W-stride frames best agree (min MSE) with the previously
+    chosen window's trailing frames. Selection picks among true samples of
+    the prior, so (unlike lowering the temperature) it sharpens
+    *consistency* without averaging or mode-collapsing the marginals.
+
+    ``decode_window``: (B, S) int32 normalized codes of ONE position ->
+    (B, W, D) decoded raw window (train/prior.make_decode_window_fn). The
+    whole rollout is one jitted program: `lax.fori_loop` over positions,
+    candidate scoring inside the step.
+
+    With a ``prompt`` ((P, S) or (batch, P, S)) the previous-window carry is
+    initialized from the prompt's last position, so the first generated
+    position is already consistency-selected against real data. Free-run
+    (no prompt) position 0 has nothing to agree with: candidate 0 (a pure
+    prior sample) is kept. Returns (batch, length, S) int32.
+    """
+    cfg = model.cfg
+    S = len(cfg.vocab_sizes)
+    W, stride = cfg.window, cfg.stride
+    ov = W - stride
+    if ov <= 0:
+        raise ValueError(f"guided sampling needs window overlap: "
+                         f"W={W} stride={stride}")
+    if candidates < 2:
+        raise ValueError("guided sampling needs candidates >= 2")
+    if length > cfg.max_len:
+        raise ValueError(f"length {length} > max_len {cfg.max_len}")
+    C = candidates
+    BC = batch * C
+    cls_t = (jnp.repeat(jnp.asarray(class_ids, jnp.int32), C)
+             if class_ids is not None else None)
+
+    n_prompt = 0
+    grid0 = jnp.zeros((BC, length, S), jnp.int32)
+    if prompt is not None:
+        prompt = jnp.asarray(prompt, jnp.int32)
+        if prompt.ndim == 2:
+            prompt = jnp.broadcast_to(prompt[None], (batch, *prompt.shape))
+        n_prompt = int(prompt.shape[1])
+        if n_prompt >= length:
+            raise ValueError(f"prompt length {n_prompt} >= sample length "
+                             f"{length}: nothing to generate")
+        tiled = jnp.repeat(prompt, C, axis=0)  # (BC, P, S)
+        grid0 = grid0.at[:, :n_prompt].set(tiled)
+        prev0 = decode_window(prompt[:, -1])  # (batch, W, D)
+    else:
+        # shape probe supplies D; contents never scored (t==0 keeps cand 0)
+        prev0 = jnp.zeros_like(decode_window(grid0[:batch, 0]))
+
+    def step(t, carry):
+        grid, prev, rng = carry
+        rng, *keys = jax.random.split(rng, S + 1)
+        grid = sample_position(model, variables, grid, t, keys,
+                               temperature=temperature, top_k=top_k,
+                               top_p=top_p, class_ids=cls_t)
+        wins = decode_window(grid[:, t]).reshape(batch, C, W, -1)
+        score = jnp.mean(
+            (wins[:, :, :ov] - prev[:, None, stride:]) ** 2, axis=(2, 3))
+        choice = jnp.argmin(score, axis=1)  # (batch,)
+        if n_prompt == 0:
+            choice = jnp.where(t == 0, 0, choice)
+        g4 = grid.reshape(batch, C, length, S)
+        chosen = jnp.take_along_axis(
+            g4[:, :, t], choice[:, None, None], axis=1)[:, 0]  # (batch, S)
+        g4 = g4.at[:, :, t].set(chosen[:, None, :])
+        prev = jnp.take_along_axis(
+            wins, choice[:, None, None, None], axis=1)[:, 0]
+        return g4.reshape(BC, length, S), prev, rng
+
+    grid, _, _ = jax.lax.fori_loop(n_prompt, length, step,
+                                   (grid0, prev0, rng))
+    return grid.reshape(batch, C, length, S)[:, 0]
 
 
 def grid_to_codes(cfg: PriorConfig, grid) -> dict:

@@ -32,6 +32,7 @@ from ..models.token_prior import (
     grid_to_codes,
     prior_loss,
     sample_grids,
+    sample_grids_guided,
 )
 from ..ops.code_decode import (
     code_vocab_sizes,
@@ -489,6 +490,23 @@ def stitch_windows(windows: np.ndarray, stride: int, *,
     return (acc / np.maximum(cnt, counts_floor)).astype(np.float32)
 
 
+def make_decode_window_fn(vq_model, vq_variables, exp, pcfg,
+                          mean: np.ndarray, std: np.ndarray):
+    """Traced single-position decoder for guided sampling: (B, S) int32
+    NORMALIZED codes of one position -> (B, W, D) raw decoded window."""
+    mean_j = jnp.asarray(mean, jnp.float32)
+    std_j = jnp.asarray(std, jnp.float32)
+
+    def decode_window(codes_pos):
+        codes = grid_to_codes(pcfg, codes_pos[:, None, :])
+        codes = denormalize_codes(exp.model, codes)
+        z_q = decode_codes(exp.model, vq_variables, codes)
+        wins = vq_model.apply(vq_variables, z_q, method="decode_latent")
+        return wins.astype(jnp.float32) * std_j + mean_j
+
+    return decode_window
+
+
 def sample_motion(
     vq_model, vq_variables, exp, prior_model, prior_variables,
     mean: np.ndarray, std: np.ndarray, *, n_samples: int = 4,
@@ -497,6 +515,7 @@ def sample_motion(
     seed: int = 0,
     class_ids: Optional[np.ndarray] = None,
     prompt: Optional[np.ndarray] = None,
+    guide_candidates: int = 0,
     return_windows: bool = False, return_grid: bool = False,
 ):
     """Sample new token grids and decode them to raw robot motions.
@@ -511,14 +530,28 @@ def sample_motion(
     memorize-vs-recombine on. ``prompt`` ((P, S) or (n_samples, P, S)
     NORMALIZED code grid, e.g. a prefix of extract_code_grids output) anchors
     the rollout on real tokens: positions < P are kept, the rest sampled —
-    prompted motion continuation.
+    prompted motion continuation. ``guide_candidates`` >= 2 switches to
+    overlap-consistency guided sampling (sample_grids_guided: best-of-N
+    resampling against the previous window's overlap — the measured
+    free-run coherence lever, docs/ROUND4.md).
     """
     pcfg = prior_model.cfg
-    grid = sample_grids(prior_model, prior_variables, jax.random.key(seed),
-                        n_samples, n_positions, temperature=temperature,
-                        top_k=top_k, top_p=top_p, prompt=prompt,
-                        class_ids=(jnp.asarray(class_ids, jnp.int32)
-                                   if class_ids is not None else None))
+    cls = (jnp.asarray(class_ids, jnp.int32)
+           if class_ids is not None else None)
+    if guide_candidates >= 2:
+        decode_window = make_decode_window_fn(
+            vq_model, vq_variables, exp, pcfg, mean, std)
+        grid = sample_grids_guided(
+            prior_model, prior_variables, jax.random.key(seed), n_samples,
+            n_positions, decode_window, candidates=guide_candidates,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            prompt=prompt, class_ids=cls)
+    else:
+        grid = sample_grids(prior_model, prior_variables,
+                            jax.random.key(seed),
+                            n_samples, n_positions, temperature=temperature,
+                            top_k=top_k, top_p=top_p, prompt=prompt,
+                            class_ids=cls)
     codes = grid_to_codes(pcfg, grid)                      # normalized
     codes = denormalize_codes(exp.model, codes)            # raw index space
     z_q = decode_codes(exp.model, vq_variables, codes)     # (B*N, T', hidden)

@@ -33,6 +33,9 @@ def main():
     p.add_argument("--top_p", type=float, default=None,
                    help="nucleus sampling: keep the smallest token set with "
                         "this probability mass")
+    p.add_argument("--guide", type=int, default=0,
+                   help="overlap-consistency guided sampling: candidates "
+                        "per position (0/1 = off, e.g. 8)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", action="store_true",
                    help="also render each sample to a skeleton GIF")
@@ -112,7 +115,7 @@ def main():
         vq_model, vq_vars, exp, prior_model, prior_vars, mean, std,
         n_samples=args.num, n_positions=args.positions,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
-        seed=args.seed,
+        seed=args.seed, guide_candidates=args.guide,
         class_ids=class_ids, prompt=prompt, return_windows=True)
 
     if args.eval:
