@@ -241,6 +241,7 @@ def export_generator_artifact(
     n_samples: int = 4,
     temperature: float = 1.0,
     top_k: Optional[int] = None,
+    guide_candidates: int = 0,
     platforms: Sequence[str] = ("cpu", "tpu"),
     ref_normalize: bool = False,
 ) -> Dict[str, Any]:
@@ -265,7 +266,7 @@ def export_generator_artifact(
     gen = make_generation_fn(model, variables, exp, prior_model, prior_vars,
                              stats[0], stats[1], n_positions=n_positions,
                              n_samples=n_samples, temperature=temperature,
-                             top_k=top_k)
+                             top_k=top_k, guide_candidates=guide_candidates)
 
     def keyed(class_ids):
         def fn(key_data):
@@ -294,6 +295,7 @@ def export_generator_artifact(
         "n_positions": n_positions,
         "temperature": temperature,
         "top_k": top_k,
+        "guide_candidates": guide_candidates,
         "ref_normalize": ref_normalize,
         "functions": {},
     }

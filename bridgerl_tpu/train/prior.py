@@ -441,12 +441,14 @@ def make_generation_fn(vq_model, vq_variables, exp, prior_model,
                        prior_variables, mean, std, *, n_positions: int,
                        n_samples: int = 1, temperature: float = 1.0,
                        top_k: Optional[int] = None,
-                       top_p: Optional[float] = None):
+                       top_p: Optional[float] = None,
+                       guide_candidates: int = 0):
     """One jittable program: PRNG key (+ optional class ids) -> raw motion.
 
     Returns fn(key, class_ids?) -> (batch, stride*(N-1)+W, D) float32, where
     batch = class_ids.shape[0] for a conditioned prior, else ``n_samples``.
-    Everything — prior sampling, code decode, decoder, de-normalization,
+    Everything — prior sampling (optionally overlap-consistency guided,
+    ``guide_candidates`` >= 2), code decode, decoder, de-normalization,
     overlap-add — is one traced graph, so it freezes into a StableHLO
     serving artifact (export/serialize.export_generator_artifact).
     """
@@ -457,9 +459,19 @@ def make_generation_fn(vq_model, vq_variables, exp, prior_model,
 
     def generate(key, class_ids=None):
         batch = class_ids.shape[0] if class_ids is not None else n_samples
-        grid = sample_grids(prior_model, prior_variables, key, batch,
-                            n_positions, temperature=temperature, top_k=top_k,
-                            top_p=top_p, class_ids=class_ids)
+        if guide_candidates >= 2:
+            decode_window = make_decode_window_fn(
+                vq_model, vq_variables, exp, pcfg, mean, std)
+            grid = sample_grids_guided(
+                prior_model, prior_variables, key, batch, n_positions,
+                decode_window, candidates=guide_candidates,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                class_ids=class_ids)
+        else:
+            grid = sample_grids(prior_model, prior_variables, key, batch,
+                                n_positions, temperature=temperature,
+                                top_k=top_k,
+                                top_p=top_p, class_ids=class_ids)
         codes = grid_to_codes(pcfg, grid)
         codes = denormalize_codes(exp.model, codes)
         z_q = decode_codes(exp.model, vq_variables, codes)

@@ -37,6 +37,9 @@ def main():
                    help="generator: motions per call")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--guide", type=int, default=0,
+                   help="generator: overlap-consistency guided sampling "
+                        "candidates per position (0/1 = off)")
     p.add_argument("--ref_normalize", action="store_true",
                    help="bake (x-mean)/std normalization into the frozen "
                         "graph like the reference deployment. Models TRAIN "
@@ -56,6 +59,7 @@ def main():
             args.ckpt, args.prior, args.out, data_dir=args.data_dir,
             n_positions=args.positions, n_samples=args.num,
             temperature=args.temperature, top_k=args.top_k,
+            guide_candidates=args.guide,
             platforms=platforms, ref_normalize=args.ref_normalize)
     else:
         meta = export_serving_artifact(

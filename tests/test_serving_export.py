@@ -495,6 +495,24 @@ def generator_artifact(tmp_path_factory):
     return {"zip": out, "meta": meta}
 
 
+def test_generator_artifact_guided(generator_artifact, tmp_path):
+    """Overlap-consistency guided sampling freezes into the artifact too
+    (the guided rollout decodes candidate windows INSIDE the loop)."""
+    from bridgerl_tpu.export.serialize import export_generator_artifact
+
+    meta = generator_artifact["meta"]
+    out = str(tmp_path / "generator_guided.zip")
+    meta_g = export_generator_artifact(
+        meta["source_checkpoint"], meta["source_prior"], out,
+        data_dir=str(tmp_path / "nostats"), n_positions=6, n_samples=2,
+        temperature=1.0, guide_candidates=4)
+    assert meta_g["guide_candidates"] == 4
+    mod = load_serving_artifact(out)
+    m = np.asarray(mod.generate(7, action="walk"))
+    assert m.shape == (2, 35, 29) and np.isfinite(m).all()
+    np.testing.assert_array_equal(m, np.asarray(mod.generate(7, action="walk")))
+
+
 def test_generator_artifact(generator_artifact):
     """One frozen program: threefry key -> novel raw motion; per-action
     functions, deterministic per seed, action changes the sample."""
