@@ -52,6 +52,9 @@ def main():
     p.add_argument("--positions", type=int, default=64)
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--guide", type=int, default=0,
+                   help="overlap-consistency guided sampling candidates "
+                        "(0 = off; key rows get a |gN suffix)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--split_seed", type=int, default=42,
                    help="PriorTrainConfig.seed of the priors' training run "
@@ -147,6 +150,7 @@ def main():
                 model, variables, exp, prior_model, prior_vars, mean, std,
                 n_samples=args.n_samples, n_positions=args.positions,
                 temperature=args.temperature, seed=args.seed, prompt=prompt,
+                guide_candidates=args.guide,
                 return_windows=True, return_grid=True)
             cont = wins[:, P:]                      # continuation windows
             cont_motions = [stitch_windows(w, stride) for w in cont]
@@ -170,8 +174,9 @@ def main():
                 float(np.mean((cont[:, j] - true_wins[:, P + j]) ** 2))
                 for j in probe]
             rep["sample_s"] = round(time.time() - t0, 1)
-            results[f"{name}|P{P}"] = rep
-            print(f"[{name}|P{P}] vel {rep['vel_ratio']:.3f} | "
+            row = f"{name}|P{P}" + (f"|g{args.guide}" if args.guide else "")
+            results[row] = rep
+            print(f"[{row}] vel {rep['vel_ratio']:.3f} | "
                   f"cov {rep['range_coverage_mean']:.2f} | "
                   f"seam {rep['overlap_disagreement_seam']:.4f} "
                   f"cont {rep['overlap_disagreement_cont']:.4f} | "
