@@ -187,6 +187,8 @@ def main():
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():  # merge: guided/unguided passes share one file
+        results = {**json.loads(out.read_text()), **results}
     out.write_text(json.dumps(results, indent=1))
     print(f"[INFO] prompted eval -> {out}", flush=True)
 

@@ -122,6 +122,8 @@ def main():
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
+    if out.exists():  # merge: sweep passes accumulate into one file
+        sweep = {**json.loads(out.read_text()), **sweep}
     out.write_text(json.dumps(sweep, indent=1))
     print(f"[INFO] sweep -> {out}", flush=True)
 
