@@ -36,7 +36,10 @@ UNIFORM_CE = 6.37  # mean log-vocab over the 5 hybrid code streams
 
 def load_arms(repo: Path) -> dict:
     arms: dict = {}
-    for sub in ("prior_scale", "prior_scale_val"):  # val loaded last -> wins
+    # same frozen K4 teacher everywhere (chain_scaling_val.sh, queue_r3/r4
+    # specs) -> one take-count axis; select=val dirs load last and win ties
+    # (prior_scale2's takes640 replicates prior_scale_val's: CE 4.001/4.00)
+    for sub in ("prior_scale", "prior_scale_val", "prior_scale2"):
         f = repo / "abruns" / sub / "scaling.json"
         if f.exists():
             for k, v in json.loads(f.read_text()).items():
