@@ -162,20 +162,32 @@ class MotionTokenPrior(nn.Module):
                     d_out[:, :, s]) for s, v in enumerate(c.vocab_sizes)]
 
 
+def prior_loss_sums(logits, grid: jax.Array, mask: jax.Array):
+    """(masked CE sum averaged over slots, mask sum) — the chunkable form.
+
+    Evaluating a large validation split in one batch OOMs the depth stack
+    (the (B*N, S, S) attention temp hit 26.6G HBM at the 2560-take scaling
+    arm); callers chunk the batch axis and recombine
+    ``sum(chunk_sums) / sum(chunk_weights)``, which is exactly the
+    whole-set masked mean.
+    """
+    import optax
+
+    total = 0.0
+    for s, lg in enumerate(logits):
+        ce = optax.softmax_cross_entropy_with_integer_labels(lg, grid[..., s])
+        total = total + jnp.sum(ce * mask)
+    return total / len(logits), jnp.sum(mask)
+
+
 def prior_loss(logits, grid: jax.Array, mask: jax.Array) -> jax.Array:
     """Mean next-token cross-entropy over valid positions and token slots.
 
     ``mask`` is (B, N) with 1.0 on real positions (padded grids train in
     fixed shapes; XLA never sees the ragged lengths).
     """
-    import optax
-
-    denom = jnp.maximum(jnp.sum(mask), 1.0)
-    total = 0.0
-    for s, lg in enumerate(logits):
-        ce = optax.softmax_cross_entropy_with_integer_labels(lg, grid[..., s])
-        total = total + jnp.sum(ce * mask) / denom
-    return total / len(logits)
+    total, weight = prior_loss_sums(logits, grid, mask)
+    return total / jnp.maximum(weight, 1.0)
 
 
 def nucleus_filter(lg: jax.Array, top_p: float) -> jax.Array:

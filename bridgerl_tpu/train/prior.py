@@ -31,6 +31,7 @@ from ..models.token_prior import (
     codes_to_grid,
     grid_to_codes,
     prior_loss,
+    prior_loss_sums,
     sample_grids,
     sample_grids_guided,
 )
@@ -249,10 +250,30 @@ def train_prior(
     c_dev = (jnp.asarray(class_ids, jnp.int32) if class_ids is not None
              else jnp.zeros((n,), jnp.int32))
     use_cls = bool(pcfg.class_names)
-    gv = jnp.asarray(grids[val_idx]) if n_val else None
-    mv = jnp.asarray(mask[val_idx]) if n_val else None
-    cv = (jnp.asarray(np.asarray(class_ids)[val_idx], jnp.int32)
-          if (n_val and class_ids is not None) else None)
+    # Validation set, padded to a whole number of fixed-size chunks so the
+    # chunked eval below compiles once. One-shot whole-split eval OOMs at
+    # scale (s10_queue.log: 233,856 positions -> 26.6G HBM in the depth
+    # stack); ~32k positions/chunk keeps the peak under ~4G.
+    if n_val:
+        n_positions = int(grids.shape[1])
+        eval_chunk = max(1, min(n_val, 32768 // max(n_positions, 1)))
+        pad = (-n_val) % eval_chunk
+        gv = np.concatenate([grids[val_idx],
+                             np.zeros((pad,) + grids.shape[1:],
+                                      grids.dtype)]) if pad \
+            else grids[val_idx]
+        mv = np.concatenate([mask[val_idx],
+                             np.zeros((pad,) + mask.shape[1:],
+                                      mask.dtype)]) if pad else mask[val_idx]
+        gv, mv = jnp.asarray(gv), jnp.asarray(mv)
+        if class_ids is not None:
+            cvn = np.asarray(class_ids)[val_idx].astype(np.int32)
+            cv = jnp.asarray(np.concatenate([cvn, np.zeros(pad, np.int32)])
+                             if pad else cvn)
+        else:
+            cv = jnp.zeros((n_val + pad,), jnp.int32)
+    else:
+        gv = mv = cv = None
 
     use_ss = tcfg.scheduled_sampling > 0.0
 
@@ -297,10 +318,21 @@ def train_prior(
         return params, opt_state, jnp.mean(losses)
 
     @jax.jit
+    def eval_chunk_fn(params, g, m, c):
+        logits = model.apply({"params": params}, g, train=False,
+                             class_ids=c if use_cls else None)
+        return prior_loss_sums(logits, g, m)
+
     def eval_fn(params):
-        logits = model.apply({"params": params}, gv, train=False,
-                             class_ids=cv if use_cls else None)
-        return prior_loss(logits, gv, mv)
+        total = weight = 0.0
+        for i in range(0, int(gv.shape[0]), eval_chunk):
+            s, w = eval_chunk_fn(params, gv[i:i + eval_chunk],
+                                 mv[i:i + eval_chunk], cv[i:i + eval_chunk])
+            # block per chunk (tunneled-TPU timing rule) and recombine the
+            # masked mean exactly: padded chunks contribute weight 0
+            total += float(s)
+            weight += float(w)
+        return total / max(weight, 1.0)
 
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": []}
     best, best_params, patience = float("inf"), params, 0

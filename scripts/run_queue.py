@@ -47,6 +47,14 @@ def main():
             print(f"=== {label} FAILED ===", flush=True)
         finally:
             sys.argv = saved
+            # Drop cached project modules so the next entry loads current
+            # code from disk: the s10 sweep failed with a stale
+            # bridgerl_tpu.train.prior (imported at queue start, edited
+            # mid-queue) whose sample_motion predated guide_candidates.
+            # jax/compiled programs stay cached; only repo modules reload.
+            for name in [m for m in sys.modules if m == "bridgerl_tpu"
+                         or m.startswith("bridgerl_tpu.")]:
+                del sys.modules[name]
             gc.collect()
     if failures:
         print(f"[QUEUE] {len(failures)} failed: {failures}", flush=True)
