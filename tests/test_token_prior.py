@@ -648,3 +648,33 @@ def test_guided_sample_motion_end_to_end(tiny_vq):
     d0 = np.mean([overlap_disagreement(w, 5) for w in w0])
     dg = np.mean([overlap_disagreement(w, 5) for w in wg])
     assert dg < d0  # guidance reduces decoded overlap disagreement
+
+
+def test_chunked_eval_matches_whole_set_mean():
+    """train_prior's chunked val eval must equal the one-shot masked mean.
+
+    The chunking (bridgerl_tpu/train/prior.py eval_fn) exists because a
+    whole-split eval OOMs at scale (s10_queue.log: 26.6G HBM at the
+    2560-take arm); correctness = sum(chunk sums)/sum(chunk weights)
+    reproduces prior_loss exactly, including zero-weight padded chunks.
+    """
+    from bridgerl_tpu.models.token_prior import prior_loss_sums
+
+    rng = np.random.default_rng(0)
+    model, variables = _tiny_model()
+    grid = jnp.asarray(rng.integers(0, 5, (13, 8, 2)), jnp.int32)
+    mask = jnp.asarray((rng.random((13, 8)) > 0.2), jnp.float32)
+    logits = model.apply(variables, grid, train=False)
+    whole = float(prior_loss(logits, grid, mask))
+
+    chunk = 4  # 13 -> chunks of 4 with a padded tail, like eval_fn
+    pad = (-13) % chunk
+    gp = jnp.concatenate([grid, jnp.zeros((pad, 8, 2), jnp.int32)])
+    mp = jnp.concatenate([mask, jnp.zeros((pad, 8), jnp.float32)])
+    total = weight = 0.0
+    for i in range(0, int(gp.shape[0]), chunk):
+        lg = model.apply(variables, gp[i:i + chunk], train=False)
+        s, w = prior_loss_sums(lg, gp[i:i + chunk], mp[i:i + chunk])
+        total += float(s)
+        weight += float(w)
+    assert abs(total / weight - whole) < 1e-5
