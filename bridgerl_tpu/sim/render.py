@@ -20,7 +20,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 from mpl_toolkits.mplot3d.art3d import Line3DCollection  # noqa: E402
 
-from .urdf import KinematicChain
+from .urdf import CollisionPrim, KinematicChain, rpy_to_matrix
 
 # preset camera views mirroring debug_camera_views.py:189-202 (elev, azim).
 # The zero-pose G1 faces +x, so the front camera sits on the +x axis (azim 0).
@@ -41,6 +41,70 @@ def skeleton_segments(chain: KinematicChain, positions: np.ndarray) -> np.ndarra
     return np.asarray(segs)
 
 
+def _prim_local_grid(prim: CollisionPrim, n: int = 10):
+    """Parametric (3, n, m) surface grid of a primitive in its local frame.
+
+    URDF cylinders extend along local Z. Boxes are returned as a closed
+    band around the four side faces plus flat top/bottom rows — a single
+    plot_surface call per primitive keeps volumetric GIF rendering fast.
+    """
+    if prim.kind == "sphere":
+        (r,) = prim.size
+        u = np.linspace(0.0, 2 * np.pi, 2 * n)
+        v = np.linspace(0.0, np.pi, n)
+        return np.stack([r * np.outer(np.cos(u), np.sin(v)),
+                         r * np.outer(np.sin(u), np.sin(v)),
+                         r * np.outer(np.ones_like(u), np.cos(v))])
+    if prim.kind == "cylinder":
+        r, length = prim.size
+        u = np.linspace(0.0, 2 * np.pi, 2 * n)
+        # closed profile: bottom center -> bottom rim -> top rim -> top center
+        prof_r = np.array([0.0, r, r, 0.0])
+        prof_z = np.array([-length / 2, -length / 2, length / 2, length / 2])
+        return np.stack([np.outer(np.cos(u), prof_r),
+                         np.outer(np.sin(u), prof_r),
+                         np.outer(np.ones_like(u), prof_z)])
+    if prim.kind == "box":
+        sx, sy, sz = prim.size
+        # perimeter of the XY cross-section (closed), swept over z with
+        # degenerate center rows capping top and bottom
+        px = np.array([1, 1, -1, -1, 1]) * (sx / 2)
+        py = np.array([1, -1, -1, 1, 1]) * (sy / 2)
+        zs = np.array([-sz / 2, -sz / 2, sz / 2, sz / 2])
+        shrink = np.array([0.0, 1.0, 1.0, 0.0])  # collapse cap rows to axis
+        return np.stack([np.outer(px, shrink),
+                         np.outer(py, shrink),
+                         np.broadcast_to(zs, (5, 4)).copy()])
+    raise ValueError(f"unknown collision primitive kind {prim.kind!r}")
+
+
+def draw_volumetric(ax, chain: KinematicChain, positions: np.ndarray,
+                    rotations: np.ndarray, collisions: List[CollisionPrim],
+                    color: str = "tab:blue", alpha: float = 0.95) -> int:
+    """Draw the body's collision volumes at the FK world pose.
+
+    ``positions``/``rotations``: (L, 3) and (L, 3, 3) world link poses from
+    sim/kinematics FK. Primitives whose link is not on the chain (dropped
+    fixed decorations) are skipped. Returns the number drawn.
+    """
+    by_link = {name: i for i, name in enumerate(chain.link_names)}
+    drawn = 0
+    for prim in collisions:
+        li = by_link.get(prim.link)
+        if li is None:
+            continue
+        grid = _prim_local_grid(prim)
+        R_prim = rpy_to_matrix(prim.origin_rpy)
+        R = rotations[li] @ R_prim
+        t = positions[li] + rotations[li] @ np.asarray(prim.origin_pos)
+        world = np.einsum("ij,jnm->inm", R, grid) + t[:, None, None]
+        ax.plot_surface(world[0], world[1], world[2], color=color,
+                        alpha=alpha, linewidth=0, antialiased=False,
+                        shade=True)
+        drawn += 1
+    return drawn
+
+
 def render_frame(
     chain: KinematicChain,
     positions: np.ndarray,
@@ -48,12 +112,19 @@ def render_frame(
     view: str = "front",
     lim: Optional[float] = None,
     title: str = "",
+    rotations: Optional[np.ndarray] = None,
+    collisions: Optional[List[CollisionPrim]] = None,
 ) -> Optional[str]:
     fig = plt.figure(figsize=(6, 6))
     ax = fig.add_subplot(111, projection="3d")
-    segs = skeleton_segments(chain, positions)
-    ax.add_collection3d(Line3DCollection(segs, colors="tab:blue", linewidths=2))
-    ax.scatter(positions[:, 0], positions[:, 1], positions[:, 2], c="tab:red", s=8)
+    if collisions is not None and rotations is not None:
+        draw_volumetric(ax, chain, positions, rotations, collisions)
+    else:
+        segs = skeleton_segments(chain, positions)
+        ax.add_collection3d(
+            Line3DCollection(segs, colors="tab:blue", linewidths=2))
+        ax.scatter(positions[:, 0], positions[:, 1], positions[:, 2],
+                   c="tab:red", s=8)
     # frame the skeleton: cube around the body centroid with a small margin
     center = positions.mean(axis=0)
     extent = float(np.abs(positions - center).max())
@@ -86,6 +157,8 @@ def render_motion(
     fps: int = 25,
     max_frames: int = 200,
     view: str = "front",
+    rotations: Optional[np.ndarray] = None,   # (T, L, 3, 3) for volumetric
+    collisions: Optional[List[CollisionPrim]] = None,
 ) -> str:
     """Render a trajectory to GIF or MP4 (by extension) via imageio
     (reference render_viewport.py:210-218, render_video.py:152-159)."""
@@ -98,7 +171,11 @@ def render_motion(
     lim = max(float(np.abs(flat - flat.mean(0)).max()) * 1.15, 0.3)
     frames: List[np.ndarray] = []
     for t in range(0, T, stride):
-        frames.append(render_frame(chain, np.asarray(trajectory[t]), None, view=view, lim=lim))
+        frames.append(render_frame(
+            chain, np.asarray(trajectory[t]), None, view=view, lim=lim,
+            rotations=(np.asarray(rotations[t])
+                       if rotations is not None else None),
+            collisions=collisions))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     if out_path.endswith(".gif"):
         imageio.mimsave(out_path, frames, duration=1000.0 / fps)  # ms per frame

@@ -64,6 +64,15 @@ class G1ReplayScene:
         m = motion or self.motion
         return self._rollout(m.dof_pos)
 
+    def rollout_full(self, motion: Optional[Motion] = None
+                     ) -> Tuple[jax.Array, jax.Array]:
+        """All frames at once with orientations: (T, A) ->
+        ((T, L, 3) positions, (T, L, 3, 3) rotations). The volumetric
+        renderer (sim/render.draw_volumetric) needs link orientations to
+        place collision primitives."""
+        m = motion or self.motion
+        return jax.jit(jax.vmap(self._fk))(m.dof_pos)
+
     def fk_windows(self, q_windows: jax.Array) -> jax.Array:
         """(N, W, 29) -> (N, W, L, 3): the windowed-state API."""
         return self._batched_fk(q_windows)

@@ -111,6 +111,98 @@ class KinematicChain:
         )
 
 
+@dataclass
+class CollisionPrim:
+    """One collision primitive attached to a link, in the link frame.
+
+    ``size``: sphere [radius]; cylinder [radius, length] (URDF cylinders
+    extend along the collision frame's Z); box [sx, sy, sz]. The vendor G1
+    URDF (reference assets/g1_local/urdf/g1/main.urdf) expresses every body
+    volume as these three primitives, so they are a faithful renderable
+    body — the volumetric stand-in for the reference's Omniverse mesh
+    viewport (reference scripts/deployment/play_g1_npy.py:194-210).
+    """
+
+    link: str
+    kind: str                  # 'sphere' | 'cylinder' | 'box'
+    size: List[float]
+    origin_pos: List[float]
+    origin_rpy: List[float]
+
+
+def parse_urdf_collisions(path: str) -> List[CollisionPrim]:
+    """Collision primitives per link from a vendor URDF.
+
+    Mesh-typed collisions are skipped (primitives are the self-contained
+    renderable subset; the G1 URDF has none on chain links).
+    """
+    root = ET.parse(path).getroot()
+    prims: List[CollisionPrim] = []
+    for link in root.findall("link"):
+        lname = link.get("name")
+        for col in link.findall("collision"):
+            origin = col.find("origin")
+            xyz = [float(v) for v in (origin.get("xyz", "0 0 0")
+                                      if origin is not None else "0 0 0").split()]
+            rpy = [float(v) for v in (origin.get("rpy", "0 0 0")
+                                      if origin is not None else "0 0 0").split()]
+            geom = col.find("geometry")
+            if geom is None:
+                continue
+            sphere = geom.find("sphere")
+            cyl = geom.find("cylinder")
+            box = geom.find("box")
+            if sphere is not None:
+                prims.append(CollisionPrim(lname, "sphere",
+                                           [float(sphere.get("radius"))],
+                                           xyz, rpy))
+            elif cyl is not None:
+                prims.append(CollisionPrim(
+                    lname, "cylinder",
+                    [float(cyl.get("radius")), float(cyl.get("length"))],
+                    xyz, rpy))
+            elif box is not None:
+                prims.append(CollisionPrim(
+                    lname, "box", [float(v) for v in box.get("size").split()],
+                    xyz, rpy))
+    return prims
+
+
+def collisions_to_rows(prims: List[CollisionPrim]) -> List[list]:
+    return [[p.link, p.kind, p.size, p.origin_pos, p.origin_rpy]
+            for p in prims]
+
+
+def collisions_from_rows(rows: List[list]) -> List[CollisionPrim]:
+    return [CollisionPrim(link, kind, list(size), list(pos), list(rpy))
+            for link, kind, size, pos, rpy in rows]
+
+
+def collisions_equal(a: List[CollisionPrim], b: List[CollisionPrim],
+                     atol: float = 1e-6) -> List[str]:
+    """Differences between two collision sets (order-sensitive; empty == equal)."""
+    diffs: List[str] = []
+    if len(a) != len(b):
+        diffs.append(f"count {len(a)} != {len(b)}")
+        return diffs
+    for i, (pa, pb) in enumerate(zip(a, b)):
+        if (pa.link, pa.kind) != (pb.link, pb.kind):
+            diffs.append(f"[{i}] {pa.link}/{pa.kind} != {pb.link}/{pb.kind}")
+        elif not (np.allclose(pa.size, pb.size, atol=atol)
+                  and np.allclose(pa.origin_pos, pb.origin_pos, atol=atol)
+                  and np.allclose(pa.origin_rpy, pb.origin_rpy, atol=atol)):
+            diffs.append(f"[{i}] {pa.link}/{pa.kind} numeric diff")
+    return diffs
+
+
+def load_g1_collisions() -> List[CollisionPrim]:
+    """Collision primitives bundled with the G1 kinematic spec (extracted
+    from the vendor URDF by scripts/extract_urdf_spec.py --write)."""
+    with open(G1_SPEC_PATH) as f:
+        d = json.load(f)
+    return collisions_from_rows(d.get("collisions", []))
+
+
 def rpy_to_matrix(rpy: Sequence[float]) -> np.ndarray:
     """URDF fixed-axis roll-pitch-yaw -> rotation matrix (R = Rz @ Ry @ Rx)."""
     r, p, y = rpy

@@ -27,18 +27,31 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import json  # noqa: E402
+
 from bridgerl_tpu.sim.urdf import (  # noqa: E402
     G1_JOINT_NAMES,
     G1_SPEC_PATH,
     KinematicChain,
     build_chain,
     chains_equal,
+    collisions_equal,
+    collisions_from_rows,
+    collisions_to_rows,
+    parse_urdf_collisions,
     parse_urdf_joints,
 )
 
 
 def extract(urdf_path: str) -> KinematicChain:
     return build_chain(parse_urdf_joints(urdf_path), G1_JOINT_NAMES)
+
+
+def extract_collisions(urdf_path: str, chain: KinematicChain):
+    """Collision primitives restricted to links kept on the actuated chain
+    (fixed decorations the chain drops would never be drawn)."""
+    keep = set(chain.link_names)
+    return [p for p in parse_urdf_collisions(urdf_path) if p.link in keep]
 
 
 def main() -> int:
@@ -51,18 +64,24 @@ def main() -> int:
     args = p.parse_args()
 
     chain = extract(args.urdf)
+    prims = extract_collisions(args.urdf, chain)
     print(f"extracted: {chain.num_links} links, {chain.num_actuated} actuated "
-          f"joints from {args.urdf}")
+          f"joints, {len(prims)} collision primitives from {args.urdf}")
 
     if args.write:
+        d = json.loads(chain.to_json())
+        d["collisions"] = collisions_to_rows(prims)
         with open(args.spec, "w") as f:
-            f.write(chain.to_json())
+            json.dump(d, f)
         print(f"wrote {args.spec}")
         return 0
 
     with open(args.spec) as f:
-        bundled = KinematicChain.from_json(f.read())
+        raw = f.read()
+    bundled = KinematicChain.from_json(raw)
     diffs = chains_equal(bundled, chain)
+    diffs += collisions_equal(
+        collisions_from_rows(json.loads(raw).get("collisions", [])), prims)
     if diffs:
         print("SPEC MISMATCH:")
         for d in diffs:

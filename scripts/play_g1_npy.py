@@ -26,6 +26,9 @@ def main():
     p.add_argument("--urdf", type=str, default=None,
                    help="Optional URDF path (default: bundled G1 29-DoF spec)")
     p.add_argument("--loops", type=int, default=1, help="Replay passes to time")
+    p.add_argument("--volumetric", action="store_true",
+                   help="Render collision-primitive body volumes (vendor URDF "
+                        "geometry) instead of the line skeleton")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -55,7 +58,19 @@ def main():
           f"{sps:,.0f} steps/sec on {jax.devices()[0].platform}")
 
     if args.render:
-        out = render_motion(chain, np.asarray(traj), args.render, fps=min(args.output_fps, 25))
+        rotations = collisions = None
+        if args.volumetric:
+            from bridgerl_tpu.sim import load_g1_collisions
+            collisions = load_g1_collisions()
+            if collisions:
+                traj, rotations = (np.asarray(a)
+                                   for a in scene.rollout_full())
+            else:
+                print("[WARN] no collision primitives in the bundled spec; "
+                      "rendering skeleton")
+        out = render_motion(chain, np.asarray(traj), args.render,
+                            fps=min(args.output_fps, 25),
+                            rotations=rotations, collisions=collisions)
         print(f"[INFO] Rendered {out}")
 
 

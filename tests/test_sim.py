@@ -219,6 +219,68 @@ def test_render_frame_and_motion(g1, tmp_path, rng):
     assert segs.shape == (g1.num_links - 1, 2, 3)
 
 
+# ---------- volumetric rendering ----------
+
+def test_bundled_spec_has_collision_primitives(g1):
+    """The spec bundles the vendor URDF's collision volumes (sphere/cylinder/
+    box) for the volumetric renderer; every primitive's link must be on the
+    chain and its numbers finite."""
+    from bridgerl_tpu.sim import load_g1_collisions
+    prims = load_g1_collisions()
+    assert len(prims) >= 20   # 29 extracted from the vendor G1 URDF
+    links = set(g1.link_names)
+    kinds = {"sphere", "cylinder", "box"}
+    for p in prims:
+        assert p.link in links
+        assert p.kind in kinds
+        assert np.all(np.isfinite(p.size)) and np.all(np.array(p.size) > 0)
+        assert np.all(np.isfinite(p.origin_pos))
+    # the major bodies are covered: pelvis, both thighs/shins/feet, torso,
+    # both upper arms/forearms/hands
+    covered = {p.link for p in prims}
+    for need in ("pelvis", "torso_link", "left_knee_link", "right_knee_link",
+                 "left_elbow_link", "right_elbow_link",
+                 "left_ankle_roll_link", "right_ankle_roll_link"):
+        assert need in covered, need
+
+
+def test_volumetric_render_frame_and_motion(g1, tmp_path, rng):
+    from bridgerl_tpu.sim import load_g1_collisions, render_frame
+    from bridgerl_tpu.sim.kinematics import fk_numpy
+    import os
+    prims = load_g1_collisions()
+    pos, rot = fk_numpy(g1, np.zeros(29))
+    p = render_frame(g1, pos, str(tmp_path / "vol.png"),
+                     rotations=rot, collisions=prims)
+    assert os.path.getsize(p) > 0
+    # volumetric frame covers more pixels than the line skeleton
+    import imageio.v2 as imageio
+    sk = render_frame(g1, pos, str(tmp_path / "sk.png"))
+    vol_ink = (imageio.imread(p)[..., :3] < 250).any(-1).sum()
+    sk_ink = (imageio.imread(sk)[..., :3] < 250).any(-1).sum()
+    assert vol_ink > sk_ink
+    # animated path: rollout_full feeds rotations
+    scene = G1ReplayScene(g1)
+    dof = rng.uniform(-0.2, 0.2, size=(4, 29)).astype(np.float32)
+    scene.load(dof, input_fps=20, output_fps=20)
+    traj, rots = (np.asarray(a) for a in scene.rollout_full())
+    gif = render_motion(g1, traj, str(tmp_path / "vol.gif"), max_frames=2,
+                        rotations=rots, collisions=prims)
+    assert os.path.getsize(gif) > 0
+
+
+def test_rollout_full_matches_rollout(g1, rng):
+    scene = G1ReplayScene(g1)
+    dof = rng.uniform(-0.3, 0.3, size=(5, 29)).astype(np.float32)
+    scene.load(dof, input_fps=20, output_fps=20)
+    pos = np.asarray(scene.rollout())
+    pos2, rot = (np.asarray(a) for a in scene.rollout_full())
+    assert np.allclose(pos, pos2, atol=1e-5)
+    # rotations are orthonormal
+    eye = np.einsum("tlij,tlkj->tlik", rot, rot)
+    assert np.allclose(eye, np.eye(3), atol=1e-4)
+
+
 # ---------- live viewport ----------
 
 def test_live_viewer_page_and_server(g1, rng):
