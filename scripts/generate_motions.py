@@ -39,6 +39,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render", action="store_true",
                    help="also render each sample to a skeleton GIF")
+    p.add_argument("--volumetric", action="store_true",
+                   help="render collision-primitive body volumes instead of "
+                        "the line skeleton")
     p.add_argument("--fps", type=int, default=20, help="assumed motion fps")
     p.add_argument("--eval", action="store_true",
                    help="report motion statistics vs the training data")
@@ -144,13 +147,22 @@ def main():
         print(f"[INFO] sample {i}: {m.shape[0]} frames "
               f"({m.shape[0] / args.fps:.1f}s @ {args.fps}fps) -> {path}")
         if args.render:
-            from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, render_motion
+            from bridgerl_tpu.sim import (
+                G1ReplayScene, load_g1_chain, load_g1_collisions, render_motion)
             chain = load_g1_chain(None)
             scene = G1ReplayScene(chain)
             scene.load(m, args.fps, args.fps)
-            traj = scene.rollout()
+            rotations = collisions = None
+            if args.volumetric:
+                collisions = load_g1_collisions() or None
+            if collisions:
+                traj, rotations = scene.rollout_full()
+                rotations = np.asarray(rotations)
+            else:
+                traj = scene.rollout()
             gif = str(path.with_suffix(".gif"))
-            render_motion(chain, np.asarray(traj), gif, fps=min(args.fps, 25))
+            render_motion(chain, np.asarray(traj), gif, fps=min(args.fps, 25),
+                          rotations=rotations, collisions=collisions)
             print(f"[INFO] rendered {gif}")
 
 

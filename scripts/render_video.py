@@ -22,12 +22,16 @@ def main():
     p.add_argument("--format", type=str, default="gif", choices=["gif", "mp4"])
     p.add_argument("--max_frames", type=int, default=200)
     p.add_argument("--view", type=str, default="front")
+    p.add_argument("--volumetric", action="store_true",
+                   help="render collision-primitive body volumes instead of "
+                        "the line skeleton")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
-    from bridgerl_tpu.sim import G1ReplayScene, load_g1_chain, render_motion
+    from bridgerl_tpu.sim import (
+        G1ReplayScene, load_g1_chain, load_g1_collisions, render_motion)
 
     files = [args.input] if args.input.endswith(".npy") else sorted(
         glob.glob(os.path.join(args.input, "*.npy")))
@@ -44,11 +48,18 @@ def main():
             print(f"[SKIP] {f}: shape {raw.shape}")
             continue
         scene.load(raw, args.input_fps, args.output_fps)
-        traj = np.asarray(scene.rollout())
+        rotations = collisions = None
+        if args.volumetric:
+            collisions = load_g1_collisions() or None
+        if collisions:
+            traj, rotations = (np.asarray(a) for a in scene.rollout_full())
+        else:
+            traj = np.asarray(scene.rollout())
         stem = os.path.splitext(os.path.basename(f))[0]
         out = os.path.join(args.output_dir, f"{stem}.{args.format}")
         out = render_motion(chain, traj, out, fps=args.output_fps,
-                            max_frames=args.max_frames, view=args.view)
+                            max_frames=args.max_frames, view=args.view,
+                            rotations=rotations, collisions=collisions)
         print(f"[OK] {f} -> {out}")
 
 
