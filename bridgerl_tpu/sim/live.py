@@ -47,6 +47,7 @@ _PAGE = """<!DOCTYPE html>
 <script>
 const FRAMES = {frames};      // (T, L, 3) link positions
 const PARENT = {parent};      // parent link index, -1 for root
+const VOLS = {vols};          // (T, P, 7) world capsules or null (skeleton)
 const FPS = {fps};
 const T = FRAMES.length, L = PARENT.length;
 let frame = 0, playing = true, speed = 1, acc = 0, last = null;
@@ -83,15 +84,39 @@ function draw() {{
     ctx.moveTo(c[0],c[1]); ctx.lineTo(d[0],d[1]); ctx.stroke();
   }}
   const f = FRAMES[frame], pts = f.map(project);
-  ctx.strokeStyle = '#4f9cf7'; ctx.lineWidth = 2.5;
-  ctx.beginPath();
-  for (let i = 1; i < L; i++) {{
-    const p = pts[PARENT[i]], q = pts[i];
-    ctx.moveTo(p[0], p[1]); ctx.lineTo(q[0], q[1]);
+  if (VOLS) {{
+    // volumetric: each row is [x1,y1,z1,x2,y2,z2,radius] — a world capsule
+    // (sphere if the endpoints coincide); painter's algorithm back-to-front
+    const ca = Math.cos(azim), sa = Math.sin(azim);
+    const ce = Math.cos(elev), se = Math.sin(elev);
+    const depth = p => ce*(ca*(p[0]-C[0]) + sa*(p[1]-C[1])) + se*(p[2]-C[2]);
+    const s = Math.min(cv.width, cv.height) * 0.42 * zoom / R;
+    const vf = VOLS[frame];
+    const order = vf.map((v, i) =>
+      [depth([(v[0]+v[3])/2, (v[1]+v[4])/2, (v[2]+v[5])/2]), i])
+      .sort((a, b) => a[0] - b[0]);
+    const dmin = order[0][0], dmax = order[order.length-1][0];
+    for (const [d, i] of order) {{
+      const v = vf[i];
+      const a = project([v[0], v[1], v[2]]), b = project([v[3], v[4], v[5]]);
+      const light = 38 + 26 * (d - dmin) / Math.max(dmax - dmin, 1e-6);
+      ctx.strokeStyle = `hsl(212, 62%, ${{light}}%)`;
+      ctx.lineWidth = Math.max(2, 2 * v[6] * s);
+      ctx.lineCap = 'round';
+      ctx.beginPath(); ctx.moveTo(a[0], a[1]); ctx.lineTo(b[0], b[1]);
+      ctx.stroke();
+    }}
+  }} else {{
+    ctx.strokeStyle = '#4f9cf7'; ctx.lineWidth = 2.5;
+    ctx.beginPath();
+    for (let i = 1; i < L; i++) {{
+      const p = pts[PARENT[i]], q = pts[i];
+      ctx.moveTo(p[0], p[1]); ctx.lineTo(q[0], q[1]);
+    }}
+    ctx.stroke();
+    ctx.fillStyle = '#e66a6a';
+    for (const p of pts) {{ ctx.beginPath(); ctx.arc(p[0], p[1], 3, 0, 7); ctx.fill(); }}
   }}
-  ctx.stroke();
-  ctx.fillStyle = '#e66a6a';
-  for (const p of pts) {{ ctx.beginPath(); ctx.arc(p[0], p[1], 3, 0, 7); ctx.fill(); }}
   scrub.value = frame;
   hud.textContent = `${{(frame/FPS).toFixed(2)}}s  ${{frame+1}}/${{T}}`;
 }}
@@ -141,9 +166,55 @@ def motion_to_frames(chain: KinematicChain, q_frames: np.ndarray) -> np.ndarray:
     return out
 
 
+def motion_to_volumes(chain: KinematicChain, q_frames: np.ndarray,
+                      prims) -> np.ndarray:
+    """(T, A) joint angles + collision primitives -> (T, P, 7) world capsules.
+
+    Each row is [x1, y1, z1, x2, y2, z2, radius] — the browser page draws it
+    as a round-capped thick line (a capsule in screen space; endpoints equal
+    = sphere). Cylinders extend along their collision frame's Z; boxes are
+    approximated by a capsule along their longest axis with the mean of the
+    other two half-extents as radius (the G1 URDF has no box collisions).
+    """
+    from .urdf import rpy_to_matrix
+
+    by_link = {name: i for i, name in enumerate(chain.link_names)}
+    prims = [p for p in prims if p.link in by_link]
+    out = np.empty((q_frames.shape[0], len(prims), 7), np.float32)
+    for t, q in enumerate(q_frames):
+        pos, rot = fk_numpy(chain, q)
+        for pi, prim in enumerate(prims):
+            li = by_link[prim.link]
+            R = rot[li] @ rpy_to_matrix(prim.origin_rpy)
+            c = pos[li] + rot[li] @ np.asarray(prim.origin_pos)
+            if prim.kind == "sphere":
+                a = b = c
+                r = prim.size[0]
+            elif prim.kind == "cylinder":
+                r, length = prim.size
+                half = R @ np.array([0.0, 0.0, length / 2])
+                a, b = c - half, c + half
+            else:  # box
+                size = np.asarray(prim.size)
+                ax = int(np.argmax(size))
+                direction = np.zeros(3)
+                direction[ax] = size[ax] / 2
+                half = R @ direction
+                a, b = c - half, c + half
+                r = float(np.delete(size, ax).mean() / 2)
+            out[t, pi] = [*a, *b, r]
+    return out
+
+
 def build_viewer_html(chain: KinematicChain, positions: np.ndarray,
-                      fps: float = 50.0, title: str = "bridgerl replay") -> str:
-    """Self-contained live-viewport page for (T, L, 3) link positions."""
+                      fps: float = 50.0, title: str = "bridgerl replay",
+                      volumes: Optional[np.ndarray] = None) -> str:
+    """Self-contained live-viewport page for (T, L, 3) link positions.
+
+    ``volumes``: optional (T, P, 7) world capsules from motion_to_volumes —
+    the page then renders the body's collision volumes instead of the line
+    skeleton.
+    """
     positions = np.asarray(positions, np.float64)
     if positions.ndim != 3 or positions.shape[0] == 0:
         # a (1,) trajectory resamples to 0 frames — fail with a diagnosis
@@ -152,8 +223,18 @@ def build_viewer_html(chain: KinematicChain, positions: np.ndarray,
             f"need (T>=1, L, 3) link positions, got {positions.shape} "
             f"(single-frame inputs resample to zero frames)")
     frames = np.round(positions, 4).tolist()
+    if volumes is not None:
+        volumes = np.asarray(volumes, np.float64)
+        if volumes.ndim != 3 or volumes.shape[0] != positions.shape[0] \
+                or volumes.shape[2] != 7:
+            raise ValueError(
+                f"volumes must be (T={positions.shape[0]}, P, 7), "
+                f"got {volumes.shape}")
+        vols = json.dumps(np.round(volumes, 4).tolist())
+    else:
+        vols = "null"
     return _PAGE.format(
-        title=title, frames=json.dumps(frames),
+        title=title, frames=json.dumps(frames), vols=vols,
         parent=json.dumps(chain.parent_index.tolist()),
         fps=float(fps), tmax=len(frames) - 1)
 

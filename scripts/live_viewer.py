@@ -28,6 +28,9 @@ def main():
     p.add_argument("--html", type=str, default=None,
                    help="Write the page here instead of serving it")
     p.add_argument("--port", type=int, default=8731)
+    p.add_argument("--volumetric", action="store_true",
+                   help="render collision-primitive body volumes instead of "
+                        "the line skeleton")
     args = p.parse_args()
 
     import numpy as np
@@ -35,6 +38,7 @@ def main():
     from bridgerl_tpu.sim.live import (
         build_viewer_html,
         motion_to_frames,
+        motion_to_volumes,
         serve_viewer,
     )
     from bridgerl_tpu.sim.motion import resample_indices
@@ -49,8 +53,18 @@ def main():
     print(f"[INFO] {raw.shape[0]} frames @ {args.input_fps}fps -> "
           f"{q.shape[0]} frames @ {args.output_fps}fps")
     positions = motion_to_frames(chain, q)
+    volumes = None
+    if args.volumetric:
+        from bridgerl_tpu.sim import load_g1_collisions
+        prims = load_g1_collisions()
+        if prims:
+            volumes = motion_to_volumes(chain, q, prims)
+        else:
+            print("[WARN] no collision primitives in the bundled spec; "
+                  "rendering skeleton")
     html = build_viewer_html(chain, positions, fps=args.output_fps,
-                             title=Path(args.input_file).stem)
+                             title=Path(args.input_file).stem,
+                             volumes=volumes)
     if args.html:
         Path(args.html).write_text(html)
         print(f"[INFO] Wrote {args.html} ({len(html) / 1e6:.1f} MB, self-contained)")

@@ -329,6 +329,39 @@ def test_live_viewer_page_and_server(g1, rng):
     assert body.decode() == html
 
 
+def test_live_viewer_volumetric_page(g1, rng):
+    """Volumetric page variant: capsules embedded, JS balanced, sphere rows
+    have equal endpoints and cylinder rows span their length."""
+    import re
+
+    from bridgerl_tpu.sim import load_g1_collisions
+    from bridgerl_tpu.sim.live import build_viewer_html, motion_to_frames, \
+        motion_to_volumes
+
+    prims = load_g1_collisions()
+    q = rng.uniform(-0.3, 0.3, size=(3, g1.num_actuated)).astype(np.float32)
+    pos = motion_to_frames(g1, q)
+    vols = motion_to_volumes(g1, q, prims)
+    assert vols.shape == (3, len(prims), 7)
+    assert np.all(vols[..., 6] > 0)
+    for pi, p in enumerate(prims):
+        seg = np.linalg.norm(vols[0, pi, 3:6] - vols[0, pi, :3])
+        if p.kind == "sphere":
+            assert seg < 1e-6
+        elif p.kind == "cylinder":
+            assert abs(seg - p.size[1]) < 1e-4
+
+    html = build_viewer_html(g1, pos, fps=20.0, volumes=vols)
+    js = re.search(r"<script>(.*)</script>", html, re.S).group(1)
+    for a, b in ("()", "[]", "{}"):
+        assert js.count(a) == js.count(b)
+    assert "const VOLS = [[[" in html          # capsules embedded
+    assert "const VOLS = null" in build_viewer_html(g1, pos, fps=20.0)
+
+    with pytest.raises(ValueError):
+        build_viewer_html(g1, pos, volumes=vols[:2])  # T mismatch
+
+
 def test_viewer_rejects_empty_trajectory(g1):
     """A single-frame input resamples to zero frames; the page builder must
     fail with a diagnosis instead of emitting JS that dies on FRAMES[0]."""
