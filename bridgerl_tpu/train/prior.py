@@ -252,7 +252,7 @@ def train_prior(
     use_cls = bool(pcfg.class_names)
     # Validation set, padded to a whole number of fixed-size chunks so the
     # chunked eval below compiles once. One-shot whole-split eval OOMs at
-    # scale (s10_queue.log: 233,856 positions -> 26.6G HBM in the depth
+    # scale (docs/evidence/s10_queue.log: 233,856 positions -> 26.6G HBM in the depth
     # stack); ~32k positions/chunk keeps the peak under ~4G.
     if n_val:
         n_positions = int(grids.shape[1])

@@ -654,7 +654,7 @@ def test_chunked_eval_matches_whole_set_mean():
     """train_prior's chunked val eval must equal the one-shot masked mean.
 
     The chunking (bridgerl_tpu/train/prior.py eval_fn) exists because a
-    whole-split eval OOMs at scale (s10_queue.log: 26.6G HBM at the
+    whole-split eval OOMs at scale (docs/evidence/s10_queue.log: 26.6G HBM at the
     2560-take arm); correctness = sum(chunk sums)/sum(chunk weights)
     reproduces prior_loss exactly, including zero-weight padded chunks.
     """
