@@ -242,6 +242,7 @@ def export_generator_artifact(
     temperature: float = 1.0,
     top_k: Optional[int] = None,
     guide_candidates: int = 0,
+    guide_dyn: float = 0.0,
     platforms: Sequence[str] = ("cpu", "tpu"),
     ref_normalize: bool = False,
 ) -> Dict[str, Any]:
@@ -266,7 +267,8 @@ def export_generator_artifact(
     gen = make_generation_fn(model, variables, exp, prior_model, prior_vars,
                              stats[0], stats[1], n_positions=n_positions,
                              n_samples=n_samples, temperature=temperature,
-                             top_k=top_k, guide_candidates=guide_candidates)
+                             top_k=top_k, guide_candidates=guide_candidates,
+                             guide_dyn=guide_dyn)
 
     def keyed(class_ids):
         def fn(key_data):
@@ -296,6 +298,7 @@ def export_generator_artifact(
         "temperature": temperature,
         "top_k": top_k,
         "guide_candidates": guide_candidates,
+        "guide_dyn": guide_dyn,
         "ref_normalize": ref_normalize,
         "functions": {},
     }

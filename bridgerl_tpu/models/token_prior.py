@@ -307,7 +307,8 @@ def sample_grids_guided(model: MotionTokenPrior, variables, rng: jax.Array,
                         top_k: Optional[int] = None,
                         top_p: Optional[float] = None,
                         class_ids: Optional[jax.Array] = None,
-                        prompt: Optional[jax.Array] = None) -> jax.Array:
+                        prompt: Optional[jax.Array] = None,
+                        dyn_weight: float = 0.0) -> jax.Array:
     """Overlap-consistency guided sampling (best-of-N resampling).
 
     The measured free-run failure mode at corpus scale is NOT bad marginals
@@ -334,6 +335,13 @@ def sample_grids_guided(model: MotionTokenPrior, variables, rng: jax.Array,
     position is already consistency-selected against real data. Free-run
     (no prompt) position 0 has nothing to agree with: candidate 0 (a pure
     prior sample) is kept. Returns (batch, length, S) int32.
+
+    ``dyn_weight`` > 0 subtracts that multiple of the candidate window's
+    mean per-frame speed from the (minimized) overlap-MSE score: pure
+    overlap agreement can systematically prefer the *stillest* candidate
+    (static windows are the easiest to agree with), compounding the
+    measured under-dynamics; the dynamics term breaks the tie toward
+    livelier candidates. 0.0 (default) = pure consistency selection.
     """
     cfg = model.cfg
     S = len(cfg.vocab_sizes)
@@ -377,6 +385,9 @@ def sample_grids_guided(model: MotionTokenPrior, variables, rng: jax.Array,
         wins = decode_window(grid[:, t]).reshape(batch, C, W, -1)
         score = jnp.mean(
             (wins[:, :, :ov] - prev[:, None, stride:]) ** 2, axis=(2, 3))
+        if dyn_weight:
+            speed = jnp.mean(jnp.abs(jnp.diff(wins, axis=2)), axis=(2, 3))
+            score = score - dyn_weight * speed
         choice = jnp.argmin(score, axis=1)  # (batch,)
         if n_prompt == 0:
             choice = jnp.where(t == 0, 0, choice)

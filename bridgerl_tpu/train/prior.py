@@ -474,7 +474,8 @@ def make_generation_fn(vq_model, vq_variables, exp, prior_model,
                        n_samples: int = 1, temperature: float = 1.0,
                        top_k: Optional[int] = None,
                        top_p: Optional[float] = None,
-                       guide_candidates: int = 0):
+                       guide_candidates: int = 0,
+                       guide_dyn: float = 0.0):
     """One jittable program: PRNG key (+ optional class ids) -> raw motion.
 
     Returns fn(key, class_ids?) -> (batch, stride*(N-1)+W, D) float32, where
@@ -498,7 +499,7 @@ def make_generation_fn(vq_model, vq_variables, exp, prior_model,
                 prior_model, prior_variables, key, batch, n_positions,
                 decode_window, candidates=guide_candidates,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                class_ids=class_ids)
+                class_ids=class_ids, dyn_weight=guide_dyn)
         else:
             grid = sample_grids(prior_model, prior_variables, key, batch,
                                 n_positions, temperature=temperature,
@@ -560,6 +561,7 @@ def sample_motion(
     class_ids: Optional[np.ndarray] = None,
     prompt: Optional[np.ndarray] = None,
     guide_candidates: int = 0,
+    guide_dyn: float = 0.0,
     return_windows: bool = False, return_grid: bool = False,
 ):
     """Sample new token grids and decode them to raw robot motions.
@@ -577,7 +579,9 @@ def sample_motion(
     prompted motion continuation. ``guide_candidates`` >= 2 switches to
     overlap-consistency guided sampling (sample_grids_guided: best-of-N
     resampling against the previous window's overlap — the measured
-    free-run coherence lever, docs/ROUND4.md).
+    free-run coherence lever, docs/ROUND4.md); ``guide_dyn`` > 0 adds the
+    dynamics-preserving term to its selection score (token_prior.
+    sample_grids_guided dyn_weight).
     """
     pcfg = prior_model.cfg
     cls = (jnp.asarray(class_ids, jnp.int32)
@@ -589,7 +593,7 @@ def sample_motion(
             prior_model, prior_variables, jax.random.key(seed), n_samples,
             n_positions, decode_window, candidates=guide_candidates,
             temperature=temperature, top_k=top_k, top_p=top_p,
-            prompt=prompt, class_ids=cls)
+            prompt=prompt, class_ids=cls, dyn_weight=guide_dyn)
     else:
         grid = sample_grids(prior_model, prior_variables,
                             jax.random.key(seed),

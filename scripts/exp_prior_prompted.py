@@ -52,6 +52,8 @@ def main():
     p.add_argument("--positions", type=int, default=64)
     p.add_argument("--n_samples", type=int, default=4)
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--guide_dyn", type=float, default=0.0,
+                   help="dynamics-preserving guide weight (needs --guide>=2)")
     p.add_argument("--guide", type=int, default=0,
                    help="overlap-consistency guided sampling candidates "
                         "(0 = off; key rows get a |gN suffix)")
@@ -151,6 +153,7 @@ def main():
                 n_samples=args.n_samples, n_positions=args.positions,
                 temperature=args.temperature, seed=args.seed, prompt=prompt,
                 guide_candidates=args.guide,
+                guide_dyn=args.guide_dyn,
                 return_windows=True, return_grid=True)
             cont = wins[:, P:]                      # continuation windows
             cont_motions = [stitch_windows(w, stride) for w in cont]
@@ -174,7 +177,8 @@ def main():
                 float(np.mean((cont[:, j] - true_wins[:, P + j]) ** 2))
                 for j in probe]
             rep["sample_s"] = round(time.time() - t0, 1)
-            row = f"{name}|P{P}" + (f"|g{args.guide}" if args.guide else "")
+            row = (f"{name}|P{P}" + (f"|g{args.guide}" if args.guide else "")
+                   + (f"|d{args.guide_dyn:g}" if args.guide_dyn else ""))
             results[row] = rep
             print(f"[{row}] vel {rep['vel_ratio']:.3f} | "
                   f"cov {rep['range_coverage_mean']:.2f} | "

@@ -38,6 +38,9 @@ def main():
                    help="0 = no top-k truncation")
     p.add_argument("--top_ps", default="0",
                    help="0 = no nucleus filtering (composes with top_k)")
+    p.add_argument("--guide_dyns", default="0",
+                   help="comma list of dynamics-preserving guide weights "
+                        "(sample_grids_guided dyn_weight; needs --guides>=2)")
     p.add_argument("--guides", default="0",
                    help="overlap-consistency guided sampling candidate "
                         "counts (0 = off; e.g. 0,4,16)")
@@ -72,6 +75,7 @@ def main():
     top_ks = [int(k) for k in args.top_ks.split(",")]
     top_ps = [float(x) for x in args.top_ps.split(",")]
     guides = [int(x) for x in args.guides.split(",")]
+    guide_dyns = [float(x) for x in args.guide_dyns.split(",")]
 
     sweep = {}
     data_grids = data_mask = data_wins = None
@@ -94,24 +98,26 @@ def main():
             for tk in top_ks:
               for tp in top_ps:
                for gd in guides:
-                t0 = time.time()
-                motions, windows, grid = sample_motion(
+                for gw in (guide_dyns if gd else [0.0]):
+                 t0 = time.time()
+                 motions, windows, grid = sample_motion(
                     model, variables, exp, prior_model, prior_vars,
                     mean, std, n_samples=args.n_samples,
                     n_positions=args.positions, temperature=temp,
                     top_k=(tk or None), top_p=(tp or None), seed=args.seed,
-                    guide_candidates=gd,
+                    guide_candidates=gd, guide_dyn=gw,
                     return_windows=True, return_grid=True)
-                rep = compare_to_data(motions, seqs)
-                rep["overlap_disagreement"] = float(np.mean(
+                 rep = compare_to_data(motions, seqs)
+                 rep["overlap_disagreement"] = float(np.mean(
                     [overlap_disagreement(w, stride) for w in windows]))
-                rep.update(code_novelty(grid, data_grids, data_mask))
-                rep.update(nearest_data_distance(windows, data_wins))
-                rep["sample_s"] = round(time.time() - t0, 1)
-                key = (f"{name}|T{temp}|k{tk}" + (f"|p{tp}" if tp else "")
-                       + (f"|g{gd}" if gd else ""))
-                sweep[key] = rep
-                print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
+                 rep.update(code_novelty(grid, data_grids, data_mask))
+                 rep.update(nearest_data_distance(windows, data_wins))
+                 rep["sample_s"] = round(time.time() - t0, 1)
+                 key = (f"{name}|T{temp}|k{tk}" + (f"|p{tp}" if tp else "")
+                       + (f"|g{gd}" if gd else "")
+                       + (f"|d{gw:g}" if gw else ""))
+                 sweep[key] = rep
+                 print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
                       f"jerk {rep['jerk_ratio']:.3f} | "
                       f"cov {rep['range_coverage_mean']:.2f} | "
                       f"overlap {rep['overlap_disagreement']:.4f} | "

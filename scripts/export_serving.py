@@ -37,6 +37,8 @@ def main():
                    help="generator: motions per call")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--guide_dyn", type=float, default=0.0,
+                   help="generator: dynamics-preserving guide weight")
     p.add_argument("--guide", type=int, default=0,
                    help="generator: overlap-consistency guided sampling "
                         "candidates per position (0/1 = off)")
@@ -60,6 +62,7 @@ def main():
             n_positions=args.positions, n_samples=args.num,
             temperature=args.temperature, top_k=args.top_k,
             guide_candidates=args.guide,
+            guide_dyn=args.guide_dyn,
             platforms=platforms, ref_normalize=args.ref_normalize)
     else:
         meta = export_serving_artifact(

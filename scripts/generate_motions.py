@@ -33,6 +33,8 @@ def main():
     p.add_argument("--top_p", type=float, default=None,
                    help="nucleus sampling: keep the smallest token set with "
                         "this probability mass")
+    p.add_argument("--guide_dyn", type=float, default=0.0,
+                   help="dynamics-preserving guide weight (needs --guide>=2)")
     p.add_argument("--guide", type=int, default=0,
                    help="overlap-consistency guided sampling: candidates "
                         "per position (0/1 = off, e.g. 8)")
@@ -119,6 +121,7 @@ def main():
         n_samples=args.num, n_positions=args.positions,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.seed, guide_candidates=args.guide,
+        guide_dyn=args.guide_dyn,
         class_ids=class_ids, prompt=prompt, return_windows=True)
 
     if args.eval:

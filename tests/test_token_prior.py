@@ -606,6 +606,36 @@ def test_guided_sampling_prompt_kept_and_anchored():
     assert g[:, 3, 0].mean() > g0[:, 3, 0].mean()
 
 
+def test_guided_sampling_dyn_weight_prefers_lively():
+    """dyn_weight > 0 must bias best-of-N selection toward candidates whose
+    decoded window moves more (counters the stillest-candidate bias of pure
+    overlap agreement)."""
+    from bridgerl_tpu.models.token_prior import sample_grids_guided
+
+    def ramp_decoder(W=10, ov=5):
+        # overlap frames are zero for EVERY candidate (equal overlap score);
+        # the rest ramps with the slot-0 token: higher token == livelier
+        def decode_window(codes_pos):
+            v = codes_pos[:, 0].astype(jnp.float32)
+            ramp = jnp.concatenate(
+                [jnp.zeros(ov), jnp.linspace(0.0, 1.0, W - ov)])
+            return v[:, None, None] * ramp[None, :, None]
+        return decode_window
+
+    model, variables = _tiny_model()
+    kwargs = dict(candidates=6)
+    g0 = np.asarray(sample_grids_guided(
+        model, variables, jax.random.key(3), 8, 8, ramp_decoder(), **kwargs))
+    g_dyn = np.asarray(sample_grids_guided(
+        model, variables, jax.random.key(3), 8, 8, ramp_decoder(),
+        dyn_weight=100.0, **kwargs))
+    # overlap ties, so dyn picks ~the max-token candidate each step while
+    # the pure-consistency run keeps an unbiased draw: a wide margin
+    assert g_dyn[:, 1:, 0].mean() > g0[:, 1:, 0].mean() + 0.8
+    for s, v in enumerate(TINY.vocab_sizes):
+        assert g_dyn[..., s].min() >= 0 and g_dyn[..., s].max() < v
+
+
 def test_guided_sampling_validates():
     from bridgerl_tpu.models.token_prior import sample_grids_guided
 
