@@ -400,6 +400,42 @@ def evaluate_generation(scaling_paths=_SCALING_PATHS,
         crits.append(Criterion("G5", "conditioned sampling histogram-match "
                                "accuracy = 1.0 at perclass12", None,
                                "conditioned.json missing"))
+
+    # G6: guided continuation strictly beats unguided (the session-12
+    # adoption, docs/ROUND4.md): truth-MSE mean over offsets <= 3 at least
+    # 1.5x lower AND seam disagreement lower, prompted P8 on the largest
+    # committed prior
+    prompted_path = "abruns/prior_scale2/prompted_1280.json"
+    if os.path.exists(prompted_path):
+        import json as _json
+        rows = _json.loads(open(prompted_path).read())
+        base = next((v for k, v in rows.items() if k.endswith("|P8")), None)
+        guided = next((v for k, v in rows.items()
+                       if "|P8|g" in k), None)
+        if base and guided:
+            def near_truth(rep):
+                offs = rep["offsets"]
+                tm = rep["truth_mse_by_offset"]
+                return float(np.mean([t for o, t in zip(offs, tm) if o <= 3]))
+            tb, tg = near_truth(base), near_truth(guided)
+            sb = base["overlap_disagreement_seam"]
+            sg = guided["overlap_disagreement_seam"]
+            ok = tg * 1.5 <= tb and sg < sb
+            crits.append(Criterion(
+                "G6", "guided continuation >= 1.5x lower near-offset "
+                "truth-MSE and lower seam vs unguided (P8)",
+                ok, f"truth<=off3 {tg:.3f} vs {tb:.3f} "
+                    f"({tb / max(tg, 1e-9):.1f}x); seam {sg:.3f} vs {sb:.3f}"))
+        else:
+            crits.append(Criterion(
+                "G6", "guided continuation >= 1.5x lower near-offset "
+                "truth-MSE and lower seam vs unguided (P8)", None,
+                "P8 rows missing"))
+    else:
+        crits.append(Criterion(
+            "G6", "guided continuation >= 1.5x lower near-offset truth-MSE "
+            "and lower seam vs unguided (P8)", None,
+            "prompted_1280.json missing"))
     return crits
 
 
