@@ -63,6 +63,9 @@ aspirational targets — the decode+stitch ceiling (vel 0.93 / overlap-dis
      at perclass12 (the class token steers SAMPLING; its measured
      information gain is ~0 nats because the class is already inferable
      from the token prefix — adjudicated in docs/ROUND4.md)
+  G6 guided continuation (the session-12 adoption): prompted P8 guided
+     sampling scores >= 1.5x lower truth-MSE at offsets <= 3 AND lower seam
+     disagreement than unguided (measured 2.9x / 0.161-vs-0.253)
 
 Evaluated from the committed experiment JSONs by `evaluate_generation`.
 """
@@ -296,10 +299,13 @@ def evaluate_parity(log_dir: str = "results") -> List[Criterion]:
 _SCALING_PATHS = ("abruns/prior_scale_val/scaling.json",
                   "abruns/prior_scale2/scaling.json")
 _COND_PATH = "abruns/prior_cond/conditioned.json"
+_PROMPTED_PATH = "abruns/prior_scale2/prompted_1280.json"
 
 
 def evaluate_generation(scaling_paths=_SCALING_PATHS,
-                        cond_path: str = _COND_PATH) -> List[Criterion]:
+                        cond_path: str = _COND_PATH,
+                        prompted_path: str = _PROMPTED_PATH,
+                        ) -> List[Criterion]:
     """Generative-stack criteria G1-G5 (docstring above) from the committed
     corpus-scaling / conditioned-prior experiment JSONs."""
     import json
@@ -405,7 +411,6 @@ def evaluate_generation(scaling_paths=_SCALING_PATHS,
     # adoption, docs/ROUND4.md): truth-MSE mean over offsets <= 3 at least
     # 1.5x lower AND seam disagreement lower, prompted P8 on the largest
     # committed prior
-    prompted_path = "abruns/prior_scale2/prompted_1280.json"
     if os.path.exists(prompted_path):
         import json as _json
         rows = _json.loads(open(prompted_path).read())

@@ -189,8 +189,9 @@ def test_generation_criteria_not_evaluable_on_empty(tmp_path):
 
     crits = evaluate_generation(
         scaling_paths=(str(tmp_path / "none.json"),),
-        cond_path=str(tmp_path / "cond.json"))
-    assert {c.cid for c in crits} == {"G1", "G2", "G3", "G4", "G5"}
+        cond_path=str(tmp_path / "cond.json"),
+        prompted_path=str(tmp_path / "prompted.json"))
+    assert {c.cid for c in crits} == {"G1", "G2", "G3", "G4", "G5", "G6"}
     assert all(c.passed is None for c in crits)
 
 
