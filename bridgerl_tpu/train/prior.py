@@ -302,13 +302,20 @@ def train_prior(
                              class_ids=c if use_cls else None)
         return prior_loss(logits, g, m)
 
+    # The dataset tensors are jit ARGUMENTS, not closures: a closed-over
+    # device array is baked into the program as a constant literal and
+    # ships inside the remote-compile payload — at the 5120-take arm that
+    # constant alone is ~90MB and the compile tunnel rejects the request
+    # (HTTP 413, docs/evidence/s14_queue.log). As arguments they stay
+    # device-resident data and the payload stays model-sized.
     @jax.jit
-    def epoch_fn(params, opt_state, idx_mat, drop_key, ss_prob):
+    def epoch_fn(params, opt_state, idx_mat, drop_key, ss_prob,
+                 g_all, m_all, c_all):
         def step(carry, args):
             p, o = carry
             idx, k = args
             loss, grads = jax.value_and_grad(loss_fn)(
-                p, g_dev[idx], m_dev[idx], c_dev[idx], k, ss_prob)
+                p, g_all[idx], m_all[idx], c_all[idx], k, ss_prob)
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
 
@@ -347,7 +354,7 @@ def train_prior(
         params, opt_state, tr = epoch_fn(
             params, opt_state, idx_mat,
             jax.random.fold_in(jax.random.key(tcfg.seed + 1), ep),
-            jnp.asarray(ss_prob, jnp.float32))
+            jnp.asarray(ss_prob, jnp.float32), g_dev, m_dev, c_dev)
         vl = float(eval_fn(params)) if n_val else float(tr)
         history["train_loss"].append(float(tr))
         history["val_loss"].append(vl)
