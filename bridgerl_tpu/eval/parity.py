@@ -340,9 +340,17 @@ def evaluate_generation(scaling_paths=_SCALING_PATHS,
     else:
         details, ok = [], True
         for k, rep in sorted(big.items(), key=lambda kv: n_takes(kv[0])):
-            tm = float(np.mean(prompted(rep)["truth_mse_by_offset"]))
+            prow = prompted(rep)
+            if prow is None:
+                # arm written mid-queue without its prompted eval: criterion
+                # is not evaluable rather than a crash (ADVICE r4)
+                ok = None
+                details.append(f"{k}: prompted row missing")
+                continue
+            tm = float(np.mean(prow["truth_mse_by_offset"]))
             floor = rep["val_nn_floor"]
-            ok &= tm < floor
+            if ok is not None:
+                ok &= tm < floor
             details.append(f"{k}: {tm:.3f} < {floor:.3f}")
         crits.append(Criterion("G1", "held-out continuation truth_mse < "
                                "val_nn_floor at every arm >= 160 takes",
@@ -393,15 +401,21 @@ def evaluate_generation(scaling_paths=_SCALING_PATHS,
     if os.path.exists(cond_path):
         import json as _json
         cond = _json.loads(open(cond_path).read())
-        rep = cond.get("perclass12") or next(iter(cond.values()))
-        hm = rep["histogram_match"]
-        crits.append(Criterion("G5", "conditioned sampling histogram-match "
-                               "accuracy = 1.0 at perclass12",
-                               hm["accuracy"] >= 1.0,
-                               f"match {hm['accuracy']:.2f} over "
-                               f"{hm['n_classes']} classes; cond gain "
-                               f"{rep['conditioning_gain_nats']:+.3f} nats "
-                               "(sampler-level control)"))
+        rep = cond.get("perclass12")
+        if rep is None:
+            crits.append(Criterion("G5", "conditioned sampling histogram-"
+                                   "match accuracy = 1.0 at perclass12",
+                                   None, "perclass12 arm missing from "
+                                   "conditioned.json"))
+        else:
+            hm = rep["histogram_match"]
+            crits.append(Criterion("G5", "conditioned sampling histogram-"
+                                   "match accuracy = 1.0 at perclass12",
+                                   hm["accuracy"] >= 1.0,
+                                   f"match {hm['accuracy']:.2f} over "
+                                   f"{hm['n_classes']} classes; cond gain "
+                                   f"{rep['conditioning_gain_nats']:+.3f} "
+                                   "nats (sampler-level control)"))
     else:
         crits.append(Criterion("G5", "conditioned sampling histogram-match "
                                "accuracy = 1.0 at perclass12", None,

@@ -122,11 +122,14 @@ def main():
         val = set(takes[:n_val].tolist())
         train_rows = np.asarray([int(s) not in val for s in ids])
         pos = int(mask[train_rows].sum())
+        # train_prior is single-device (no Mesh/NamedSharding): the rate is
+        # per-process, NOT divided by device_count (ADVICE r4 — dividing
+        # understated it by 8x under the virtual-CPU test config)
         emit("prior_trainer_pinned64_b32", {
             "tokens_per_sec_per_chip": round(
-                pos * S * args.prior_epochs / dt / jax.device_count(), 1),
+                pos * S * args.prior_epochs / dt, 1),
             "positions_per_sec_per_chip": round(
-                pos * args.prior_epochs / dt / jax.device_count(), 1),
+                pos * args.prior_epochs / dt, 1),
             "n_grids": int(grids.shape[0]), "train_positions": pos,
             "slots_per_position": int(S), "epochs": args.prior_epochs,
             "wall_s": round(dt, 1),

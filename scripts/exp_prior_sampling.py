@@ -18,6 +18,7 @@ the draw.
 """
 
 import argparse
+import itertools
 import json
 import sys
 import time
@@ -94,37 +95,37 @@ def main():
                 np.stack([np.asarray(s, np.float32)[i:i + W]
                           for i in range(0, s.shape[0] - W + 1, stride)])
                 for s in seqs if np.asarray(s).shape[0] >= W])
-        for temp in temps:
-            for tk in top_ks:
-              for tp in top_ps:
-               for gd in guides:
-                for gw in (guide_dyns if gd else [0.0]):
-                 t0 = time.time()
-                 motions, windows, grid = sample_motion(
-                    model, variables, exp, prior_model, prior_vars,
-                    mean, std, n_samples=args.n_samples,
-                    n_positions=args.positions, temperature=temp,
-                    top_k=(tk or None), top_p=(tp or None), seed=args.seed,
-                    guide_candidates=gd, guide_dyn=gw,
-                    return_windows=True, return_grid=True)
-                 rep = compare_to_data(motions, seqs)
-                 rep["overlap_disagreement"] = float(np.mean(
-                    [overlap_disagreement(w, stride) for w in windows]))
-                 rep.update(code_novelty(grid, data_grids, data_mask))
-                 rep.update(nearest_data_distance(windows, data_wins))
-                 rep["sample_s"] = round(time.time() - t0, 1)
-                 key = (f"{name}|T{temp}|k{tk}" + (f"|p{tp}" if tp else "")
-                       + (f"|g{gd}" if gd else "")
-                       + (f"|d{gw:g}" if gw else ""))
-                 sweep[key] = rep
-                 print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
-                      f"jerk {rep['jerk_ratio']:.3f} | "
-                      f"cov {rep['range_coverage_mean']:.2f} | "
-                      f"overlap {rep['overlap_disagreement']:.4f} | "
-                      f"novel pos {rep['position_novel_frac']:.2f} "
-                      f"bigram {rep['bigram_novel_frac']:.2f} | "
-                      f"nn_mse {rep['nn_mse_mean']:.4f}",
-                      flush=True)
+        grid_points = [(temp, tk, tp, gd, gw)
+                       for temp, tk, tp, gd in itertools.product(
+                           temps, top_ks, top_ps, guides)
+                       for gw in (guide_dyns if gd else [0.0])]
+        for temp, tk, tp, gd, gw in grid_points:
+            t0 = time.time()
+            motions, windows, grid = sample_motion(
+                model, variables, exp, prior_model, prior_vars,
+                mean, std, n_samples=args.n_samples,
+                n_positions=args.positions, temperature=temp,
+                top_k=(tk or None), top_p=(tp or None), seed=args.seed,
+                guide_candidates=gd, guide_dyn=gw,
+                return_windows=True, return_grid=True)
+            rep = compare_to_data(motions, seqs)
+            rep["overlap_disagreement"] = float(np.mean(
+                [overlap_disagreement(w, stride) for w in windows]))
+            rep.update(code_novelty(grid, data_grids, data_mask))
+            rep.update(nearest_data_distance(windows, data_wins))
+            rep["sample_s"] = round(time.time() - t0, 1)
+            key = (f"{name}|T{temp}|k{tk}" + (f"|p{tp}" if tp else "")
+                   + (f"|g{gd}" if gd else "")
+                   + (f"|d{gw:g}" if gw else ""))
+            sweep[key] = rep
+            print(f"[{key}] vel {rep['vel_ratio']:.3f} | "
+                  f"jerk {rep['jerk_ratio']:.3f} | "
+                  f"cov {rep['range_coverage_mean']:.2f} | "
+                  f"overlap {rep['overlap_disagreement']:.4f} | "
+                  f"novel pos {rep['position_novel_frac']:.2f} "
+                  f"bigram {rep['bigram_novel_frac']:.2f} | "
+                  f"nn_mse {rep['nn_mse_mean']:.4f}",
+                  flush=True)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
