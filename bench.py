@@ -27,11 +27,60 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
 
 
+LAST_COMMITTED_HEADLINE = 223_360.0  # BENCH_r03 (round-3 number of record)
+
+
+def chip_busy_pids():
+    """PIDs of other python processes likely holding the single TPU claim.
+
+    The tunneled axon worker serves ONE client; benching while a training
+    queue holds the chip produced the anomalous round-4 capture (184k with
+    bf16 slower than f32). Scan /proc cmdlines (no pgrep -f) for the known
+    TPU entry points.
+    """
+    import os
+    import re
+
+    me = os.getpid()
+    hot = re.compile(r"run_queue|run_batch|train_ablation|train_prior"
+                     r"|exp_prior|run_benchmark|bench_serving|__graft_entry__")
+    pids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            cmd = open(f"/proc/{pid}/cmdline", "rb").read().replace(b"\0", b" ")
+        except OSError:
+            continue
+        if b"python" in cmd and hot.search(cmd.decode("utf-8", "replace")):
+            pids.append(int(pid))
+    return pids
+
+
+def wait_for_free_chip(max_wait_s: float) -> bool:
+    """Block until no known TPU holder is running (capture hygiene,
+    round-4 verdict weak #1). Returns True if the chip looks free."""
+    t0 = time.time()
+    while True:
+        busy = chip_busy_pids()
+        if not busy:
+            return True
+        if time.time() - t0 >= max_wait_s:
+            print(f"[bench] WARNING: chip holders still alive after "
+                  f"{max_wait_s:.0f}s wait: pids {busy} — capture may be "
+                  "CONTENDED", file=sys.stderr, flush=True)
+            return False
+        print(f"[bench] chip held by pids {busy}; waiting...",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+
+
 def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
                    n_windows=65536, epochs_timed=8, compute_dtype="bfloat16",
                    attn_packing=8, dropout=0.1, accum_chunks=1,
                    fused_attention=False, cheap_dropout=False,
-                   reuse_dropout_mask=False, int8_ff=False, **config_over):
+                   reuse_dropout_mask=False, int8_ff=False, repeats=1,
+                   **config_over):
     from bridgerl_tpu.config import make_experiment
     from bridgerl_tpu.models import init_model
     from bridgerl_tpu.train import (
@@ -71,15 +120,17 @@ def bench_training(arch="transformer", method="hybrid", window=10, batch=4096,
         state, logs = train_epoch(state, robot, human, idx, keys)
         float(logs["train_loss"])
 
-    t0 = time.perf_counter()
-    for _ in range(epochs_timed):
-        state, logs = train_epoch(state, robot, human, idx, keys)
-        float(logs["train_loss"])  # hard sync
-    dt = time.perf_counter() - t0
-
-    windows = epochs_timed * nb * batch
-    n_chips = jax.device_count()
-    return windows / dt / n_chips, float(logs["train_loss"])
+    # >=1 independently timed repetitions (round-4 verdict: a single pass
+    # has no variance signal; median of >=3 is the headline protocol)
+    rates = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for _ in range(epochs_timed):
+            state, logs = train_epoch(state, robot, human, idx, keys)
+            float(logs["train_loss"])  # hard sync
+        dt = time.perf_counter() - t0
+        rates.append(epochs_timed * nb * batch / dt / jax.device_count())
+    return rates, float(logs["train_loss"])
 
 
 def bench_multiseed(arch="transformer", method="hybrid", window=10, batch=2048,
@@ -147,30 +198,66 @@ def main():
     from bridgerl_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Capture hygiene (round-4 verdict weak #1): the r4 number of record was
+    # taken while a training queue held the single tunneled-TPU claim and
+    # under-reported the repo by 17%. Refuse to time against a busy chip
+    # without saying so.
+    import os
+
+    wait_s = float(os.environ.get("BRIDGERL_BENCH_WAIT", "900"))
+    chip_free = wait_for_free_chip(wait_s)
+
     cheap = "--cheap" in sys.argv  # uint8-bit dropout masks (perf_battery.md)
-    rate, loss = bench_training(compute_dtype="bfloat16", batch=16384,
-                                accum_chunks=32, cheap_dropout=cheap)
+    rates, loss = bench_training(compute_dtype="bfloat16", batch=16384,
+                                 accum_chunks=32, cheap_dropout=cheap,
+                                 repeats=3)
+    rate = float(np.median(rates))
     if "--no_f32" in sys.argv:
         rate_f32, loss_f32 = -1.0, float("nan")
     else:
-        rate_f32, loss_f32 = bench_training(compute_dtype="float32",
-                                            batch=16384, accum_chunks=32,
-                                            epochs_timed=4)
+        f32_rates, loss_f32 = bench_training(compute_dtype="float32",
+                                             batch=16384, accum_chunks=32,
+                                             epochs_timed=4)
+        rate_f32 = float(np.median(f32_rates))
     try:
         replay_sps = bench_replay()
     except Exception as e:  # keep the primary metric robust
         replay_sps = -1.0
         print(f"[bench] replay bench failed: {e}", file=sys.stderr)
+
+    # Plausibility guards: bf16 must beat f32 (perf_battery.md shows it does
+    # everywhere on this model), and the median must sit near the last
+    # committed headline — otherwise flag the capture loudly instead of
+    # letting a noisy number become the round's record.
+    suspect = []
+    if rate_f32 > 0 and rate < rate_f32:
+        suspect.append(f"bf16 {rate:,.0f} < f32 {rate_f32:,.0f} "
+                       "(physically implausible; chip likely contended)")
+    drift = abs(rate - LAST_COMMITTED_HEADLINE) / LAST_COMMITTED_HEADLINE
+    if drift > 0.15:
+        suspect.append(f"median {rate:,.0f} is {drift:.0%} off the last "
+                       f"committed headline {LAST_COMMITTED_HEADLINE:,.0f}")
+    if not chip_free:
+        suspect.append("another TPU holder was alive during the capture")
+
     result = {
         "metric": "W10 VQ-VAE training windows/sec/chip (transformer+hybrid teacher, batch 16384 @ microbatch 512)",
         "value": round(rate, 1),
         "unit": "windows/sec/chip",
         "vs_baseline": round(rate / BASELINE_WINDOWS_PER_SEC_PER_CHIP, 3),
+        "median_of": len(rates),
+        "min": round(min(rates), 1),
+        "max": round(max(rates), 1),
+        "suspect": bool(suspect),
     }
     print(json.dumps(result))
     print(f"[bench] devices={jax.devices()} bf16_loss={loss:.4f} "
+          f"bf16_reps={[f'{r:,.0f}' for r in rates]} "
           f"f32_rate={rate_f32:,.0f} f32_loss={loss_f32:.4f} "
           f"g1_replay_steps_per_sec={replay_sps:,.0f}", file=sys.stderr)
+    for s in suspect:
+        print(f"[bench] SUSPECT CAPTURE: {s}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,8 @@ Run on the real chip with nothing else on it; appends markdown to stderr.
 """
 
 import argparse
+
+import numpy as np
 import json
 import sys
 from pathlib import Path
@@ -49,7 +51,7 @@ def main():
     if not args.skip_small:
         small = dict(arch="resnet", method="ema", window=64, batch=512,
                      n_windows=16384, epochs_timed=4)
-        single, _ = bench.bench_training(attn_packing=1, dropout=0.0, **small)
+        single = float(np.median(bench.bench_training(attn_packing=1, dropout=0.0, **small)[0]))
         for S in args.small_seeds:
             agg = bench.bench_multiseed(seeds=tuple(range(S)), attn_packing=1,
                                         dropout=0.0, **small)
@@ -59,7 +61,7 @@ def main():
         flag = dict(arch="transformer", method="hybrid", window=10,
                     batch=8192, accum_chunks=16, n_windows=32768,
                     epochs_timed=4, attn_packing=8)
-        single, _ = bench.bench_training(**flag)
+        single = float(np.median(bench.bench_training(**flag)[0]))
         for S in args.flagship_seeds:
             agg = bench.bench_multiseed(seeds=tuple(range(S)), **flag)
             record("flagship W10 b8192@micro512", S, agg, single)

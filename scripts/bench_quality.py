@@ -22,6 +22,8 @@ Writes abruns/bench_quality.json and prints one JSON line per arm.
 """
 
 import argparse
+
+import numpy as np
 import json
 import sys
 import time
@@ -71,10 +73,11 @@ def main():
              dict(batch=4096, accum_chunks=8)),
         ]:
             t0 = time.time()
-            rate, loss = bench_training(
+            rates, loss = bench_training(
                 window=64, tf_tokens=4, attn_packing=2,
                 compute_dtype="bfloat16", n_windows=args.n_windows,
                 epochs_timed=args.epochs_timed, **kw)
+            rate = float(np.median(rates))
             emit(key, {"windows_per_sec_per_chip": round(rate, 1),
                        "loss": round(float(loss), 4),
                        "wall_s": round(time.time() - t0, 1), **kw})

@@ -7,6 +7,8 @@ chip with nothing else on it.
 """
 
 import argparse
+
+import numpy as np
 import itertools
 import json
 import sys
@@ -50,12 +52,13 @@ def main():
             args.accums, args.fused, args.cheap, args.reuse, args.int8):
         if batch % pack != 0 or batch > args.n_windows or batch % accum != 0:
             continue
-        rate, loss = bench.bench_training(
+        rates, loss = bench.bench_training(
             batch=batch, attn_packing=pack, compute_dtype=dt,
             n_windows=args.n_windows, epochs_timed=args.epochs_timed,
             dropout=drop, accum_chunks=accum, fused_attention=bool(fused),
             cheap_dropout=bool(cheap), reuse_dropout_mask=bool(reuse),
             int8_ff=bool(int8))
+        rate = float(np.median(rates))
         row = {"batch": batch, "attn_packing": pack, "dtype": dt,
                "dropout": drop, "accum_chunks": accum, "fused": fused,
                "cheap": cheap, "reuse": reuse, "int8": int8,
