@@ -105,6 +105,50 @@ def draw_volumetric(ax, chain: KinematicChain, positions: np.ndarray,
     return drawn
 
 
+def draw_meshes(ax, chain: KinematicChain, positions: np.ndarray,
+                rotations: np.ndarray, meshes, light=(0.4, -0.25, 0.88),
+                alpha: float = 1.0) -> int:
+    """Draw the vendor visual meshes (sim/mesh.py LinkMesh list) at the FK
+    world pose with flat Lambert shading — the mesh-fidelity answer to the
+    reference's Omniverse RTX viewport (render_viewport.py:199-201).
+
+    All links' triangles go into ONE Poly3DCollection so matplotlib's
+    painter sort (zsort='average') resolves occlusion across bodies.
+    """
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    by_link = {name: i for i, name in enumerate(chain.link_names)}
+    polys, colors = [], []
+    lv = np.asarray(light, np.float64)
+    lv = lv / np.linalg.norm(lv)
+    for lm in meshes:
+        li = by_link.get(lm.link)
+        if li is None:
+            continue
+        R, t = rotations[li], positions[li]
+        world = np.einsum("ij,tnj->tni", R, lm.tris.astype(np.float64)) + t
+        e1 = world[:, 1] - world[:, 0]
+        e2 = world[:, 2] - world[:, 0]
+        n = np.cross(e1, e2)
+        norm = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.clip(norm, 1e-12, None)
+        # two-sided flat shading: ambient 0.35 + diffuse 0.65*|n.l|
+        shade = 0.35 + 0.65 * np.abs(n @ lv)
+        base = np.asarray(lm.color, np.float64)
+        polys.append(world)
+        colors.append(np.clip(shade[:, None] * base, 0.0, 1.0))
+    if not polys:
+        return 0
+    faces = np.concatenate(polys)
+    rgba = np.concatenate(
+        [np.concatenate(colors),
+         np.full((faces.shape[0], 1), alpha)], axis=1)
+    coll = Poly3DCollection(faces, facecolors=rgba, linewidths=0,
+                            shade=False, zsort="average")
+    ax.add_collection3d(coll)
+    return faces.shape[0]
+
+
 def render_frame(
     chain: KinematicChain,
     positions: np.ndarray,
@@ -114,10 +158,13 @@ def render_frame(
     title: str = "",
     rotations: Optional[np.ndarray] = None,
     collisions: Optional[List[CollisionPrim]] = None,
+    meshes=None,
 ) -> Optional[str]:
     fig = plt.figure(figsize=(6, 6))
     ax = fig.add_subplot(111, projection="3d")
-    if collisions is not None and rotations is not None:
+    if meshes is not None and rotations is not None:
+        draw_meshes(ax, chain, positions, rotations, meshes)
+    elif collisions is not None and rotations is not None:
         draw_volumetric(ax, chain, positions, rotations, collisions)
     else:
         segs = skeleton_segments(chain, positions)
@@ -159,6 +206,7 @@ def render_motion(
     view: str = "front",
     rotations: Optional[np.ndarray] = None,   # (T, L, 3, 3) for volumetric
     collisions: Optional[List[CollisionPrim]] = None,
+    meshes=None,                              # sim/mesh.py LinkMesh list
 ) -> str:
     """Render a trajectory to GIF or MP4 (by extension) via imageio
     (reference render_viewport.py:210-218, render_video.py:152-159)."""
@@ -175,7 +223,7 @@ def render_motion(
             chain, np.asarray(trajectory[t]), None, view=view, lim=lim,
             rotations=(np.asarray(rotations[t])
                        if rotations is not None else None),
-            collisions=collisions))
+            collisions=collisions, meshes=meshes))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     if out_path.endswith(".gif"):
         imageio.mimsave(out_path, frames, duration=1000.0 / fps)  # ms per frame

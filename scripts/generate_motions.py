@@ -44,6 +44,9 @@ def main():
     p.add_argument("--volumetric", action="store_true",
                    help="render collision-primitive body volumes instead of "
                         "the line skeleton")
+    p.add_argument("--mesh", action="store_true",
+                   help="render vendor visual STL meshes (reference asset "
+                        "mount as data; falls back to --volumetric)")
     p.add_argument("--fps", type=int, default=20, help="assumed motion fps")
     p.add_argument("--eval", action="store_true",
                    help="report motion statistics vs the training data")
@@ -155,17 +158,21 @@ def main():
             chain = load_g1_chain(None)
             scene = G1ReplayScene(chain)
             scene.load(m, args.fps, args.fps)
-            rotations = collisions = None
-            if args.volumetric:
+            rotations = collisions = meshes = None
+            if args.mesh:
+                from bridgerl_tpu.sim.mesh import load_g1_meshes
+                meshes = load_g1_meshes(chain)
+            if args.volumetric and not meshes:
                 collisions = load_g1_collisions() or None
-            if collisions:
+            if collisions or meshes:
                 traj, rotations = scene.rollout_full()
                 rotations = np.asarray(rotations)
             else:
                 traj = scene.rollout()
             gif = str(path.with_suffix(".gif"))
             render_motion(chain, np.asarray(traj), gif, fps=min(args.fps, 25),
-                          rotations=rotations, collisions=collisions)
+                          rotations=rotations, collisions=collisions,
+                          meshes=meshes)
             print(f"[INFO] rendered {gif}")
 
 

@@ -29,6 +29,10 @@ def main():
     p.add_argument("--volumetric", action="store_true",
                    help="Render collision-primitive body volumes (vendor URDF "
                         "geometry) instead of the line skeleton")
+    p.add_argument("--mesh", action="store_true",
+                   help="Render the vendor visual STL meshes (loaded as data "
+                        "from the reference asset mount; falls back to "
+                        "--volumetric when unavailable)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -58,8 +62,18 @@ def main():
           f"{sps:,.0f} steps/sec on {jax.devices()[0].platform}")
 
     if args.render:
-        rotations = collisions = None
-        if args.volumetric:
+        rotations = collisions = meshes = None
+        if args.mesh:
+            from bridgerl_tpu.sim.mesh import load_g1_meshes
+            meshes = load_g1_meshes(chain)
+            if meshes:
+                traj, rotations = (np.asarray(a)
+                                   for a in scene.rollout_full())
+            else:
+                print("[WARN] vendor STL meshes unreachable; falling back "
+                      "to --volumetric")
+                args.volumetric = True
+        if args.volumetric and meshes is None:
             from bridgerl_tpu.sim import load_g1_collisions
             collisions = load_g1_collisions()
             if collisions:
@@ -70,7 +84,8 @@ def main():
                       "rendering skeleton")
         out = render_motion(chain, np.asarray(traj), args.render,
                             fps=min(args.output_fps, 25),
-                            rotations=rotations, collisions=collisions)
+                            rotations=rotations, collisions=collisions,
+                            meshes=meshes)
         print(f"[INFO] Rendered {out}")
 
 

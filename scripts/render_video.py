@@ -25,6 +25,9 @@ def main():
     p.add_argument("--volumetric", action="store_true",
                    help="render collision-primitive body volumes instead of "
                         "the line skeleton")
+    p.add_argument("--mesh", action="store_true",
+                   help="render vendor visual STL meshes (reference asset "
+                        "mount as data; falls back to --volumetric)")
     args = p.parse_args()
 
     from bridgerl_tpu.utils import enable_compilation_cache
@@ -48,10 +51,16 @@ def main():
             print(f"[SKIP] {f}: shape {raw.shape}")
             continue
         scene.load(raw, args.input_fps, args.output_fps)
-        rotations = collisions = None
-        if args.volumetric:
+        rotations = collisions = meshes = None
+        if args.mesh:
+            from bridgerl_tpu.sim.mesh import load_g1_meshes
+            meshes = load_g1_meshes(chain)
+            if not meshes:
+                print("[WARN] vendor STL meshes unreachable; falling back "
+                      "to --volumetric")
+        if args.volumetric and not meshes:
             collisions = load_g1_collisions() or None
-        if collisions:
+        if collisions or meshes:
             traj, rotations = (np.asarray(a) for a in scene.rollout_full())
         else:
             traj = np.asarray(scene.rollout())
@@ -59,7 +68,8 @@ def main():
         out = os.path.join(args.output_dir, f"{stem}.{args.format}")
         out = render_motion(chain, traj, out, fps=args.output_fps,
                             max_frames=args.max_frames, view=args.view,
-                            rotations=rotations, collisions=collisions)
+                            rotations=rotations, collisions=collisions,
+                            meshes=meshes)
         print(f"[OK] {f} -> {out}")
 
 

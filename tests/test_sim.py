@@ -371,3 +371,67 @@ def test_viewer_rejects_empty_trajectory(g1):
         build_viewer_html(g1, np.zeros((0, g1.num_links, 3), np.float32))
     with pytest.raises(ValueError, match="link positions"):
         build_viewer_html(g1, np.zeros((5, 3), np.float32))
+
+
+# ---------- visual-mesh rendering (sim/mesh.py) ----------
+
+def test_stl_parser_and_decimation(tmp_path):
+    """Synthetic binary STL roundtrip + vertex-clustering decimation."""
+    import struct
+    from bridgerl_tpu.sim.mesh import decimate, load_stl
+
+    rng = np.random.default_rng(0)
+    tris = rng.normal(size=(50, 3, 3)).astype(np.float32)
+    path = tmp_path / "t.stl"
+    with open(path, "wb") as f:
+        f.write(b"solid fake".ljust(80))      # vendor files lie in the header
+        f.write(struct.pack("<I", len(tris)))
+        for t in tris:
+            f.write(np.zeros(3, "<f4").tobytes())
+            f.write(t.astype("<f4").tobytes())
+            f.write(struct.pack("<H", 0))
+    back = load_stl(str(path))
+    np.testing.assert_allclose(back, tris, rtol=0, atol=0)
+    # decimation respects the budget and keeps the bounding box roughly
+    dec = decimate(back, 20)
+    assert dec.shape[0] <= 20 and dec.shape[1:] == (3, 3)
+    assert np.abs(dec).max() <= np.abs(tris).max() + 1e-5
+
+
+def test_mesh_loader_gates_on_missing_mount(monkeypatch, g1):
+    """End-user machines without the reference mount fall back to None."""
+    from bridgerl_tpu.sim import mesh
+
+    monkeypatch.setattr(mesh, "VENDOR_URDF_CANDIDATES", ("/nonexistent.urdf",))
+    monkeypatch.delenv("BRIDGERL_G1_URDF", raising=False)
+    assert mesh.load_link_meshes(g1, None) is None
+
+
+def test_vendor_mesh_render(g1, tmp_path):
+    """Runs only where the read-only reference asset mount exists: all 35
+    visuals fold onto the 29-DoF chain and the shaded mesh frame covers more
+    pixels than the volumetric body."""
+    from bridgerl_tpu.sim.mesh import find_vendor_urdf, load_g1_meshes
+
+    if find_vendor_urdf() is None:
+        pytest.skip("no vendor URDF mount")
+    from bridgerl_tpu.sim import load_g1_collisions, render_frame
+    from bridgerl_tpu.sim.kinematics import fk_numpy
+    import os
+
+    meshes = load_g1_meshes(g1)
+    assert meshes and len(meshes) == 35
+    assert {m.link for m in meshes} <= set(g1.link_names)
+    total = sum(m.tris.shape[0] for m in meshes)
+    assert 5000 < total <= 24000 + 35 * 200
+    pos, rot = fk_numpy(g1, np.zeros(29))
+    p = render_frame(g1, pos, str(tmp_path / "mesh.png"),
+                     rotations=rot, meshes=meshes)
+    assert os.path.getsize(p) > 0
+    import imageio.v2 as imageio
+    prims = load_g1_collisions()
+    v = render_frame(g1, pos, str(tmp_path / "vol.png"),
+                     rotations=rot, collisions=prims)
+    mesh_ink = (imageio.imread(p)[..., :3] < 250).any(-1).sum()
+    vol_ink = (imageio.imread(v)[..., :3] < 250).any(-1).sum()
+    assert mesh_ink > 0.5 * vol_ink   # comparable body coverage
