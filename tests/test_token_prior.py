@@ -708,3 +708,57 @@ def test_chunked_eval_matches_whole_set_mean():
         total += float(s)
         weight += float(w)
     assert abs(total / weight - whole) < 1e-5
+
+
+def test_staged_logits_match_full_forward():
+    """The staged sampling path ("context" + "position_logits" modes) must
+    reproduce the teacher-forcing logits exactly at every position, for both
+    factorized and slot-AR priors (and with class conditioning) — this is
+    what makes the fast sampler distribution-identical to the old one."""
+    rng = np.random.default_rng(3)
+    for slot_ar in (False, True):
+        for class_names in ((), ("walk", "run")):
+            cfg = dataclasses.replace(TINY, slot_ar=slot_ar,
+                                      class_names=class_names)
+            model = MotionTokenPrior(cfg)
+            grid = jnp.asarray(
+                rng.integers(0, 5, size=(3, 8, 2)), jnp.int32)
+            cls = (jnp.asarray([0, 1, 0], jnp.int32)
+                   if class_names else None)
+            variables = model.init(
+                {"params": jax.random.key(0), "dropout": jax.random.key(0)},
+                grid, train=False, class_ids=cls)
+            full = model.apply(variables, grid, train=False, class_ids=cls)
+            ctx = model.apply(variables, grid, train=False, class_ids=cls,
+                              mode="context")
+            for t in range(grid.shape[1]):
+                staged = model.apply(variables, mode="position_logits",
+                                     ctx=ctx[:, t], slots=grid[:, t])
+                for s in range(2):
+                    np.testing.assert_allclose(
+                        np.asarray(staged[s]), np.asarray(full[s][:, t]),
+                        rtol=0, atol=1e-5,
+                        err_msg=f"slot_ar={slot_ar} cls={class_names} "
+                                f"t={t} s={s}")
+
+
+def test_guided_candidates_share_backbone_same_distribution():
+    """Guided sampling with candidates=2 at temperature->0 must produce the
+    same grid as unguided greedy sampling (both candidates collapse to the
+    argmax token, selection is then a no-op)."""
+    from bridgerl_tpu.models.token_prior import sample_grids_guided
+
+    model, variables = _tiny_model()
+
+    def decode_window(slots):   # deterministic fake decoder
+        f = slots.astype(jnp.float32)
+        base = f[:, :1] + 0.1 * f[:, 1:2]
+        t = jnp.linspace(0.0, 1.0, TINY.window)[None, :, None]
+        return base[:, None, :] * (1.0 + t)
+
+    greedy = sample_grids(model, variables, jax.random.key(0), 2, 6,
+                          temperature=1e-6)
+    guided = sample_grids_guided(model, variables, jax.random.key(0), 2, 6,
+                                 decode_window, candidates=2,
+                                 temperature=1e-6)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(guided))
