@@ -53,6 +53,10 @@ def main():
     p.add_argument("--depth_layers", type=int, default=2,
                    help="depth-transformer layers (slot_ar only)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--energy_weight", type=float, default=0.0,
+                   help="exponential tilt of the train CE toward lively "
+                        "windows: weight = exp(lam * standardized window "
+                        "speed) (train/prior.energy_tilt_weights); 0 = off")
     p.add_argument("--scheduled_sampling", type=float, default=0.0,
                    help="max prob of replacing context positions with the "
                         "model's own samples (linear ramp; exposure-bias "
@@ -122,9 +126,9 @@ def main():
                      for i in range(args.phases)} & set(range(stride))) or [0]
     print(f"[INFO] tokenizing {len(seqs)} sequences (W={W}, stride={stride}, "
           f"phases={phases})")
-    grids, mask, pcfg, seq_ids = extract_code_grids(
+    grids, mask, pcfg, seq_ids, energy = extract_code_grids(
         model, variables, exp, seqs, mean, std, stride,
-        max_len=args.max_len, phases=phases)
+        max_len=args.max_len, phases=phases, return_energy=True)
     class_ids = None
     if labels is not None:
         names = tuple(sorted(set(labels)))
@@ -145,8 +149,16 @@ def main():
         seed=args.seed, select=args.select,
         scheduled_sampling=args.scheduled_sampling,
         compute_dtype="bfloat16" if args.bf16 else "float32")
+    pos_weights = None
+    if args.energy_weight:
+        from bridgerl_tpu.train.prior import energy_tilt_weights
+        pos_weights = energy_tilt_weights(energy, mask, args.energy_weight)
+        print(f"[INFO] energy tilt lam={args.energy_weight}: weight range "
+              f"[{pos_weights[mask > 0].min():.3f}, "
+              f"{pos_weights[mask > 0].max():.3f}]")
     best_vars, history = train_prior(grids, mask, pcfg, tcfg,
-                                     class_ids=class_ids, seq_ids=seq_ids)
+                                     class_ids=class_ids, seq_ids=seq_ids,
+                                     pos_weights=pos_weights)
     save_prior_checkpoint(args.out, best_vars, pcfg, history=history)
     hist_path = str(Path(args.out).with_suffix(".history.json"))
     with open(hist_path, "w") as f:

@@ -762,3 +762,46 @@ def test_guided_candidates_share_backbone_same_distribution():
                                  decode_window, candidates=2,
                                  temperature=1e-6)
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(guided))
+
+
+def test_energy_tilt_weights_and_weighted_training(tiny_vq):
+    """extract_code_grids returns per-position window speed; tilt weights
+    are mean-1 over valid positions, monotone in energy, and plumb through
+    train_prior as train-CE weights (val CE stays unweighted)."""
+    from bridgerl_tpu.train.prior import energy_tilt_weights
+
+    exp, model, variables = tiny_vq
+    rng = np.random.default_rng(0)
+    # one still take, one lively take
+    still = np.tile(rng.normal(size=(1, 29)).astype(np.float32), (60, 1))
+    lively = np.cumsum(rng.normal(size=(60, 29)).astype(np.float32) * 0.3, 0)
+    mean = np.zeros(1, np.float32)
+    std = np.ones(1, np.float32)
+    grids, mask, pcfg, ids, energy = extract_code_grids(
+        model, variables, exp, [still, lively], mean, std, 5,
+        max_len=12, return_energy=True)
+    assert energy.shape == mask.shape
+    e_still = energy[ids == 0][mask[ids == 0] > 0]
+    e_lively = energy[ids == 1][mask[ids == 1] > 0]
+    assert e_still.max() < 1e-5 < e_lively.min()
+
+    w = energy_tilt_weights(energy, mask, 1.0)
+    valid = mask > 0
+    np.testing.assert_allclose(w[valid].mean(), 1.0, atol=1e-5)
+    assert w[~valid].sum() == 0.0
+    assert w[ids == 1][mask[ids == 1] > 0].min() > \
+        w[ids == 0][mask[ids == 0] > 0].max()
+
+    # weighted training runs and differs from unweighted
+    tcfg = PriorTrainConfig(epochs=3, batch_size=4, seed=0, patience=0,
+                            select="train")
+    v0, h0 = train_prior(grids, mask, pcfg, tcfg, seq_ids=ids, verbose=False)
+    v1, h1 = train_prior(grids, mask, pcfg, tcfg, seq_ids=ids, verbose=False,
+                         pos_weights=w)
+    l0 = jax.tree_util.tree_leaves(v0["params"])
+    l1 = jax.tree_util.tree_leaves(v1["params"])
+    assert any(not np.allclose(a, b) for a, b in zip(l0, l1))
+    # bad shape rejected
+    with pytest.raises(ValueError):
+        train_prior(grids, mask, pcfg, tcfg, seq_ids=ids,
+                    pos_weights=w[:, :3])
