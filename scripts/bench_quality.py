@@ -76,9 +76,12 @@ def main():
             rates, loss = bench_training(
                 window=64, tf_tokens=4, attn_packing=2,
                 compute_dtype="bfloat16", n_windows=args.n_windows,
-                epochs_timed=args.epochs_timed, **kw)
+                epochs_timed=args.epochs_timed, repeats=3, **kw)
             rate = float(np.median(rates))
             emit(key, {"windows_per_sec_per_chip": round(rate, 1),
+                       "median_of": len(rates),
+                       "min": round(min(rates), 1),
+                       "max": round(max(rates), 1),
                        "loss": round(float(loss), 4),
                        "wall_s": round(time.time() - t0, 1), **kw})
 
