@@ -48,6 +48,8 @@ _PAGE = """<!DOCTYPE html>
 const FRAMES = {frames};      // (T, L, 3) link positions
 const PARENT = {parent};      // parent link index, -1 for root
 const VOLS = {vols};          // (T, P, 7) world capsules or null (skeleton)
+const MESHES = {meshes};      // [{{li, color, tris:[x,y,z]x3xF}}] or null
+const ROTS = {rots};          // (T, L, 9) row-major link rotations or null
 const FPS = {fps};
 const T = FRAMES.length, L = PARENT.length;
 let frame = 0, playing = true, speed = 1, acc = 0, last = null;
@@ -84,7 +86,45 @@ function draw() {{
     ctx.moveTo(c[0],c[1]); ctx.lineTo(d[0],d[1]); ctx.stroke();
   }}
   const f = FRAMES[frame], pts = f.map(project);
-  if (VOLS) {{
+  if (MESHES && ROTS) {{
+    // vendor visual meshes: link-frame triangles posed by FK world
+    // rotations, flat Lambert shading, painter-sorted across all links
+    const ca = Math.cos(azim), sa = Math.sin(azim);
+    const ce = Math.cos(elev), se = Math.sin(elev);
+    const depth = (x,y,z) => ce*(ca*(x-C[0]) + sa*(y-C[1])) + se*(z-C[2]);
+    const lx = 0.5, ly = -0.3, lz = 0.81;      // fixed light direction
+    const faces = [];
+    const rot = ROTS[frame];
+    for (const m of MESHES) {{
+      const p = f[m.li], R = rot[m.li], tr = m.tris;
+      for (let i = 0; i < tr.length; i += 9) {{
+        const w = new Array(9);
+        for (let k = 0; k < 3; k++) {{
+          const x = tr[i+3*k], y = tr[i+3*k+1], z = tr[i+3*k+2];
+          w[3*k]   = R[0]*x + R[1]*y + R[2]*z + p[0];
+          w[3*k+1] = R[3]*x + R[4]*y + R[5]*z + p[1];
+          w[3*k+2] = R[6]*x + R[7]*y + R[8]*z + p[2];
+        }}
+        const e1x = w[3]-w[0], e1y = w[4]-w[1], e1z = w[5]-w[2];
+        const e2x = w[6]-w[0], e2y = w[7]-w[1], e2z = w[8]-w[2];
+        let nx = e1y*e2z - e1z*e2y, ny = e1z*e2x - e1x*e2z,
+            nz = e1x*e2y - e1y*e2x;
+        const nn = Math.hypot(nx, ny, nz) || 1e-9;
+        const shade = 0.35 + 0.65*Math.abs((nx*lx + ny*ly + nz*lz)/nn);
+        faces.push([depth((w[0]+w[3]+w[6])/3, (w[1]+w[4]+w[7])/3,
+                          (w[2]+w[5]+w[8])/3), w, m.color, shade]);
+      }}
+    }}
+    faces.sort((a, b) => a[0] - b[0]);
+    for (const [, w, col, sh] of faces) {{
+      const a = project([w[0],w[1],w[2]]), b = project([w[3],w[4],w[5]]),
+            c = project([w[6],w[7],w[8]]);
+      ctx.fillStyle = `rgb(${{col[0]*sh*255|0}},${{col[1]*sh*255|0}},` +
+                      `${{col[2]*sh*255|0}})`;
+      ctx.beginPath(); ctx.moveTo(a[0],a[1]); ctx.lineTo(b[0],b[1]);
+      ctx.lineTo(c[0],c[1]); ctx.closePath(); ctx.fill();
+    }}
+  }} else if (VOLS) {{
     // volumetric: each row is [x1,y1,z1,x2,y2,z2,radius] — a world capsule
     // (sphere if the endpoints coincide); painter's algorithm back-to-front
     const ca = Math.cos(azim), sa = Math.sin(azim);
@@ -206,14 +246,57 @@ def motion_to_volumes(chain: KinematicChain, q_frames: np.ndarray,
     return out
 
 
+def motion_to_poses(chain: KinematicChain, q_frames: np.ndarray):
+    """(T, A) joint angles -> ((T, L, 3) positions, (T, L, 3, 3) rotations)
+    via host numpy FK — both halves of the world pose the mesh viewer needs."""
+    T = q_frames.shape[0]
+    pos = np.empty((T, chain.num_links, 3), np.float32)
+    rot = np.empty((T, chain.num_links, 3, 3), np.float32)
+    for t, q in enumerate(q_frames):
+        pos[t], rot[t] = fk_numpy(chain, q)
+    return pos, rot
+
+
+def meshes_payload(chain: KinematicChain, meshes,
+                   total_budget: int = 6000) -> list:
+    """sim/mesh.py LinkMesh list -> JSON-ready per-link triangle payload.
+
+    Re-decimates to a browser-friendly budget (the page fills every face as
+    a canvas path per frame; ~6k faces keeps 25+ fps on a laptop). Triangles
+    stay in the LINK frame — the page poses them per frame with the FK
+    rotations, so the payload is frame-count independent.
+    """
+    from .mesh import decimate
+
+    by_link = {name: i for i, name in enumerate(chain.link_names)}
+    total = sum(m.tris.shape[0] for m in meshes) or 1
+    out = []
+    for m in meshes:
+        li = by_link.get(m.link)
+        if li is None:
+            continue
+        budget = max(60, int(total_budget * m.tris.shape[0] / total))
+        tris = decimate(m.tris, budget)
+        out.append({
+            "li": li,
+            "color": [round(float(c), 3) for c in m.color],
+            "tris": np.round(tris.reshape(-1), 4).tolist(),
+        })
+    return out
+
+
 def build_viewer_html(chain: KinematicChain, positions: np.ndarray,
                       fps: float = 50.0, title: str = "bridgerl replay",
-                      volumes: Optional[np.ndarray] = None) -> str:
+                      volumes: Optional[np.ndarray] = None,
+                      meshes: Optional[list] = None,
+                      rotations: Optional[np.ndarray] = None) -> str:
     """Self-contained live-viewport page for (T, L, 3) link positions.
 
     ``volumes``: optional (T, P, 7) world capsules from motion_to_volumes —
     the page then renders the body's collision volumes instead of the line
-    skeleton.
+    skeleton. ``meshes`` (from meshes_payload) + ``rotations``
+    ((T, L, 3, 3) from motion_to_poses) switch to the vendor visual-mesh
+    body — the interactive twin of sim/render.draw_meshes.
     """
     positions = np.asarray(positions, np.float64)
     if positions.ndim != 3 or positions.shape[0] == 0:
@@ -233,8 +316,23 @@ def build_viewer_html(chain: KinematicChain, positions: np.ndarray,
         vols = json.dumps(np.round(volumes, 4).tolist())
     else:
         vols = "null"
+    if meshes is not None:
+        if rotations is None:
+            raise ValueError("meshes need rotations (motion_to_poses)")
+        rotations = np.asarray(rotations, np.float64)
+        if rotations.shape != (positions.shape[0], positions.shape[1], 3, 3):
+            raise ValueError(
+                f"rotations must be (T, L, 3, 3) matching positions, "
+                f"got {rotations.shape}")
+        meshes_js = json.dumps(meshes)
+        rots_js = json.dumps(
+            np.round(rotations.reshape(rotations.shape[0],
+                                       rotations.shape[1], 9), 4).tolist())
+    else:
+        meshes_js = rots_js = "null"
     return _PAGE.format(
         title=title, frames=json.dumps(frames), vols=vols,
+        meshes=meshes_js, rots=rots_js,
         parent=json.dumps(chain.parent_index.tolist()),
         fps=float(fps), tmax=len(frames) - 1)
 

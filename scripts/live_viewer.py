@@ -31,6 +31,9 @@ def main():
     p.add_argument("--volumetric", action="store_true",
                    help="render collision-primitive body volumes instead of "
                         "the line skeleton")
+    p.add_argument("--mesh", action="store_true",
+                   help="render vendor visual STL meshes (reference asset "
+                        "mount as data; falls back to --volumetric)")
     args = p.parse_args()
 
     import numpy as np
@@ -53,8 +56,19 @@ def main():
     print(f"[INFO] {raw.shape[0]} frames @ {args.input_fps}fps -> "
           f"{q.shape[0]} frames @ {args.output_fps}fps")
     positions = motion_to_frames(chain, q)
-    volumes = None
-    if args.volumetric:
+    volumes = mesh_payload = rotations = None
+    if args.mesh:
+        from bridgerl_tpu.sim.live import meshes_payload, motion_to_poses
+        from bridgerl_tpu.sim.mesh import load_g1_meshes
+        meshes = load_g1_meshes(chain)
+        if meshes:
+            mesh_payload = meshes_payload(chain, meshes)
+            positions, rotations = motion_to_poses(chain, q)
+        else:
+            print("[WARN] vendor STL meshes unreachable; falling back to "
+                  "--volumetric")
+            args.volumetric = True
+    if args.volumetric and mesh_payload is None:
         from bridgerl_tpu.sim import load_g1_collisions
         prims = load_g1_collisions()
         if prims:
@@ -64,7 +78,8 @@ def main():
                   "rendering skeleton")
     html = build_viewer_html(chain, positions, fps=args.output_fps,
                              title=Path(args.input_file).stem,
-                             volumes=volumes)
+                             volumes=volumes, meshes=mesh_payload,
+                             rotations=rotations)
     if args.html:
         Path(args.html).write_text(html)
         print(f"[INFO] Wrote {args.html} ({len(html) / 1e6:.1f} MB, self-contained)")

@@ -435,3 +435,30 @@ def test_vendor_mesh_render(g1, tmp_path):
     mesh_ink = (imageio.imread(p)[..., :3] < 250).any(-1).sum()
     vol_ink = (imageio.imread(v)[..., :3] < 250).any(-1).sum()
     assert mesh_ink > 0.5 * vol_ink   # comparable body coverage
+
+
+def test_live_viewer_mesh_page(g1, rng):
+    """Mesh-mode viewer page embeds link-frame triangles + per-frame
+    rotations and stays well-formed (vendor-mount gated)."""
+    from bridgerl_tpu.sim.mesh import find_vendor_urdf, load_g1_meshes
+
+    if find_vendor_urdf() is None:
+        pytest.skip("no vendor URDF mount")
+    from bridgerl_tpu.sim.live import (
+        build_viewer_html,
+        meshes_payload,
+        motion_to_poses,
+    )
+
+    meshes = load_g1_meshes(g1)
+    payload = meshes_payload(g1, meshes, total_budget=600)
+    assert payload and all(len(m["tris"]) % 9 == 0 for m in payload)
+    assert sum(len(m["tris"]) // 9 for m in payload) <= 600 + 60 * len(payload)
+    q = rng.uniform(-0.2, 0.2, size=(3, 29)).astype(np.float32)
+    pos, rot = motion_to_poses(g1, q)
+    html = build_viewer_html(g1, pos, meshes=payload, rotations=rot)
+    assert '"li":' in html and "const MESHES = [" in html
+    assert "const ROTS = [[[" in html
+    # rotations are required with meshes
+    with pytest.raises(ValueError):
+        build_viewer_html(g1, pos, meshes=payload)
