@@ -86,8 +86,6 @@ def main():
                        "wall_s": round(time.time() - t0, 1), **kw})
 
     if not args.skip_prior:
-        import numpy as np
-
         from bridgerl_tpu.export.motion_export import (
             load_model_from_checkpoint,
         )
