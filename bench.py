@@ -27,7 +27,8 @@ import numpy as np
 BASELINE_WINDOWS_PER_SEC_PER_CHIP = 50_000.0
 
 
-LAST_COMMITTED_HEADLINE = 223_360.0  # BENCH_r03 (round-3 number of record)
+LAST_COMMITTED_HEADLINE = 219_638.0  # round-5 clean capture (suspect:false);
+# honest band 217-223k (see perf_battery.md round-5 section)
 
 
 def chip_busy_pids():
